@@ -1,38 +1,84 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interpolation re-ranking pipeline
+(BM25 top-100 -> Fast-Forward dense lookup -> alpha-interpolated top-10) at
+sf0.001. ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` carries the matching DuckDB SQL (omitted for
+the inherently iterative operators — early stopping, coalescing — which the
+pytest suite pins against the reference's golden outputs instead).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from sparkforward import queries as q
+
+    return q.q_interpolate_rerank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from sparkforward import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # native inverted-index / BM25 first stage (SURVEY §2.8, north rule)
+        "bm25_topk": q.q_bm25_topk,
+        "bm25_wand_topk": q.q_bm25_wand_topk,
+        # ranking algebra (SURVEY §2.1)
+        "rank_cut": q.q_rank_cut,
+        "minmax_normalize": q.q_minmax_normalize,
+        "interpolate_rerank": q.q_interpolate_rerank,
+        "rr_fusion": q.q_rr_fusion,
+        # Fast-Forward mode aggregation (SURVEY §2.2 S3-S6)
+        "mode_maxp": q.q_mode_maxp,
+        "mode_avep": q.q_mode_avep,
+        "mode_firstp": q.q_mode_firstp,
+        "mode_passage": q.q_mode_passage,
+        # similarity search
+        "similarity_topk": q.q_similarity_topk,
+        # dedup
+        "dedup_exact": q.q_dedup_exact,
+        "dedup_minhash": q.q_dedup_minhash,
+        # text analysis
+        "token_count": q.q_token_count,
+        "text_quality": q.q_text_quality,
+        "lang_id": q.q_lang_id,
+        # iterative operators (rows-only driver check; golden-tested in pytest)
+        "early_stopping": q.q_early_stopping,
+        "coalesce": q.q_coalesce,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (tables pre-registered as views)."""
+    from sparkforward import queries as q
+
+    return {
+        "bm25_topk": q.sql_bm25_topk(),
+        "bm25_wand_topk": q.sql_bm25_topk(),  # WAND must equal exhaustive BM25
+        "rank_cut": q.sql_rank_cut(),
+        "minmax_normalize": q.sql_minmax_normalize(),
+        "interpolate_rerank": q.sql_interpolate_rerank(),
+        "rr_fusion": q.sql_rr_fusion(),
+        "mode_maxp": q.sql_mode_maxp(),
+        "mode_avep": q.sql_mode_avep(),
+        "mode_firstp": q.sql_mode_firstp(),
+        "mode_passage": q.sql_mode_passage(),
+        "similarity_topk": q.sql_similarity_topk(),
+        "dedup_exact": q.sql_dedup_exact(),
+        "dedup_minhash": q.sql_dedup_minhash(),
+        "token_count": q.sql_token_count(),
+        "text_quality": q.sql_text_quality(),
+        "lang_id": q.sql_lang_id(),
+        # early_stopping / coalesce: intentionally omitted (iterative ops)
+    }

@@ -1,0 +1,137 @@
+"""BM25 scoring and top-k retrieval — exhaustive DataFrame path.
+
+The reference delegates first-stage BM25 to PyTerrier
+(``docs/pyterrier.md:6-10``); here it is native. This module is the
+*declarative* scorer: Catalyst sees plain joins/aggregates/windows, so
+predicate pushdown, partial aggregation, broadcast of the (tiny) query-term
+and term-statistics tables, and WindowGroupLimit top-k all come for free.
+The compressed posting-list / block-max WAND serving path lives in
+``sparkforward.postings`` / ``sparkforward.wand``; both paths must return
+identical rankings (tested).
+
+Formula (Robertson/Lucene variant, same as the DuckDB oracle):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(q, d) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+with k1 = 1.2, b = 0.75, computed in float64.
+
+Scale notes (the plan that must survive 100 TB):
+* ``tf`` rows are produced map-side (see ``tokenize.term_frequencies``).
+* The scorer **broadcast-joins** the query-term list first — only postings of
+  query terms survive the scan (semi-join pruning before any shuffle).
+* The only shuffle is the final ``groupBy(q_id, doc_id)`` sum, whose input is
+  |matched postings|, not |corpus|; partial aggregation applies.
+* Zipfian head terms make that shuffle skewed across doc-partitions only,
+  not across (q,d) pairs; AQE skew-join handles the join side, and the
+  posting-list build (postings.py) additionally salts head terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkforward.ranking import Ranking
+from sparkforward.tokenize import corpus_stats, query_terms, term_frequencies
+
+K1 = 1.2
+B = 0.75
+#: scores are rounded to this many decimals *before* ranking so that
+#: rank order (tie-break: id asc) is reproducible across engines, partition
+#: counts and summation orders. 1e-4 is far above float64 noise (~1e-12).
+SCORE_DECIMALS = 4
+
+
+def bm25_score_expr(tf="tf", df="df", dl="dl", n_docs="n_docs", avgdl="avgdl"):
+    """The per-(term, doc) BM25 contribution as a Column (float64)."""
+    idf = F.log(
+        F.lit(1.0) + (F.col(n_docs) - F.col(df) + F.lit(0.5)) / (F.col(df) + F.lit(0.5))
+    )
+    tf_d = F.col(tf).cast("double")
+    tf_norm = (tf_d * F.lit(K1 + 1.0)) / (
+        tf_d + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col(dl) / F.col(avgdl))
+    )
+    return idf * tf_norm
+
+
+def score_terms(
+    tf: DataFrame,
+    df_stats: DataFrame,
+    global_stats: DataFrame,
+    qterms: DataFrame,
+) -> DataFrame:
+    """(q_id, doc_id, term, contrib) — per-term BM25 contributions.
+
+    ``qterms`` and ``df_stats`` are broadcast (queries are small; df_stats is
+    vocabulary-sized after partial agg); ``global_stats`` is a 1-row
+    broadcast cross join.
+    """
+    return (
+        tf.join(F.broadcast(qterms), "term")  # semi-join pruning: only query terms
+        .join(F.broadcast(df_stats), "term")
+        .crossJoin(F.broadcast(global_stats))
+        .select(
+            "q_id",
+            "doc_id",
+            "term",
+            bm25_score_expr().alias("contrib"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(q_id, doc_id, score) — exhaustive BM25 over a corpus DataFrame.
+
+    Summation per (q, d) uses float64; determinism across partitionings is
+    guaranteed at SCORE_DECIMALS granularity (see module docstring).
+    """
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    df_stats, global_stats = corpus_stats(tf)
+    qt = query_terms(queries)
+    contribs = score_terms(tf, df_stats, global_stats, qt)
+    return contribs.groupBy("q_id", "doc_id").agg(F.sum("contrib").alias("score"))
+
+
+def topk(scores: DataFrame, k: int, decimals: int = SCORE_DECIMALS) -> DataFrame:
+    """(q_id, id, rank, score) — per-query top-k with deterministic ties.
+
+    Rounds *before* ranking; orders by (score desc, doc_id asc) with doc_id
+    compared numerically when castable so engine and oracle agree.
+    """
+    from pyspark.sql import Window
+
+    rounded = scores.withColumn("score", F.round(F.col("score"), decimals))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc(F.col("doc_id").cast("bigint")), F.asc("doc_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("doc_id").cast("string").alias("id"), "rank", "score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end first stage: corpus + (q_id, query) -> per-query top-k."""
+    return topk(bm25_scores(docs, queries, id_col=id_col, text_col=text_col), k)
+
+
+def bm25_ranking(
+    docs: DataFrame, queries: DataFrame, k: int = 1000, **kw
+) -> Ranking:
+    """First-stage retrieval as a :class:`Ranking` (query column attached)."""
+    scored = bm25_topk(docs, queries, k=k, **kw)
+    r = Ranking(scored.select("q_id", "id", F.col("score").cast("float").alias("score")), name="bm25")
+    return r.attach_queries(queries.select("q_id", "query"))

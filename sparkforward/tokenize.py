@@ -1,0 +1,118 @@
+"""Tokenization + corpus statistics for the inverted-index build.
+
+This is stage one of the native BM25 engine (the piece the reference
+delegates to PyTerrier — ``docs/pyterrier.md:6-10``). Design for 100 TB:
+
+* **Term frequencies are computed map-side, with no shuffle**: a document's
+  tokens all live in its own row, so ``(doc_id, term, tf)`` + doc length come
+  out of one ``mapInPandas`` pass (Arrow-batched ``Counter`` per doc). The
+  naive alternative — ``explode`` then ``groupBy(doc_id, term)`` — shuffles
+  every token.
+* Document-frequency / avgdl / N statistics are tiny (vocabulary-sized after
+  partial aggregation) and are **broadcast** to the scorers.
+* The tokenizer is a fixed, engine-defining rule — ``lower`` then maximal
+  runs of ``[a-z0-9]`` — chosen because it has bit-identical semantics in
+  Java regex (Spark), Python ``re`` and RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: token = maximal run of ASCII lowercase alphanumerics, after lower()
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+#: the same rule as a split pattern (Spark SQL / DuckDB oracle side)
+SPLIT_PATTERN = "[^a-z0-9]+"
+
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+def tokenize(text: str) -> list[str]:
+    """The canonical tokenizer (single text) — shared with oracles/tests."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, term, tf, dl) — one shuffle-free mapInPandas pass.
+
+    ``dl`` (document length in tokens) is replicated on every term row of the
+    doc so downstream BM25 needs no extra join. Documents with zero tokens
+    produce no rows (consistently excluded from N/avgdl).
+    """
+    src = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[str] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            dls: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = tokenize(text or "")
+                if not toks:
+                    continue
+                counts = Counter(toks)
+                dl = len(toks)
+                ids.extend([doc_id] * len(counts))
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+                dls.extend([dl] * len(counts))
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    return src.mapInPandas(tf_batches, schema=TF_SCHEMA)
+
+
+def doc_lengths(tf: DataFrame) -> DataFrame:
+    """(doc_id, dl) from a term-frequency frame (no extra scan of the corpus)."""
+    return tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+
+
+def corpus_stats(tf: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (df_stats, global_stats).
+
+    * ``df_stats``: (term, df) — document frequency per term. Partial
+      aggregation makes this vocabulary-sized; it is broadcast by scorers.
+    * ``global_stats``: single row (n_docs, avgdl) — derived from distinct
+      docs in the tf frame.
+    """
+    df_stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    global_stats = doc_lengths(tf).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return df_stats, global_stats
+
+
+def query_terms(queries: DataFrame, dedupe: bool = True) -> DataFrame:
+    """(q_id, term) from a (q_id, query) frame — JVM-side split/explode.
+
+    Engine semantics: BM25 sums over *unique* query terms (``dedupe=True``).
+    """
+    qt = (
+        queries.select(
+            "q_id",
+            F.explode(F.split(F.lower(F.col("query")), SPLIT_PATTERN)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return qt.dropDuplicates(["q_id", "term"]) if dedupe else qt
