@@ -195,12 +195,18 @@ def simhash(
             for text in pdf[text_col]:
                 acc = np.zeros(64, dtype=np.int64)
                 for term in set(tokenize(text or "")):
-                    h = int.from_bytes(
-                        hashlib.blake2b(term.encode(), digest_size=8).digest(), "big"
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.blake2b(term.encode(), digest_size=8).digest(), "big"
+                        )
                     )
-                    bits = (h >> np.arange(64)) & 1
-                    acc += np.where(bits == 1, 1, -1)
-                fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits == np.uint64(1), 1, -1)
+                fp = int(
+                    ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                        dtype=np.uint64
+                    )
+                )
                 out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
             pdf = pdf.copy()
             pdf[out_col] = pd.Series(out, index=pdf.index, dtype="int64")

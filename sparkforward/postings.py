@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sparkforward.bm25 import B, K1
-from sparkforward.tokenize import corpus_stats, term_frequencies
 
 BLOCK_SIZE = 128
 DEFAULT_SALT_THRESHOLD = 1_000_000  # df above which a term's postings are salted
@@ -95,7 +94,7 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("tf_blob", T.BinaryType()),
         T.StructField("dl_blob", T.BinaryType()),
         T.StructField("block_last_doc", T.ArrayType(T.LongType())),
-        T.StructField("block_max_score", T.ArrayType(T.DoubleType())),
+        T.StructField("block_max_z", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -106,20 +105,26 @@ def idf(df: float, n_docs: float) -> float:
 
 def encode_posting_list(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-    term_idf: float, avgdl: float, block_size: int = BLOCK_SIZE,
+    avgdl: float, block_size: int = BLOCK_SIZE,
 ) -> dict:
-    """Encode one (term, salt) shard: sort, delta, varbyte, block maxima."""
+    """Encode one (term, salt) shard: sort, delta, varbyte, block maxima.
+
+    ``block_max_z`` is the idf-free part of the BM25 bound,
+    ``z = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``; serving multiplies by the
+    term's idf (exact, since multiplication by a positive constant is
+    monotone in IEEE float64) — keeping idf out of the build shuffle.
+    """
     order = np.argsort(doc_ids, kind="stable")
     d, tf, dl = doc_ids[order], tfs[order], dls[order]
     deltas = np.diff(d, prepend=np.int64(0))
-    scores = term_idf * (tf * (K1 + 1.0)) / (
+    z = (tf * (K1 + 1.0)) / (
         tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
     )
     n = len(d)
     n_blocks = (n + block_size - 1) // block_size
     block_last = [int(d[min((i + 1) * block_size, n) - 1]) for i in range(n_blocks)]
     block_max = [
-        float(scores[i * block_size : (i + 1) * block_size].max())
+        float(z[i * block_size : (i + 1) * block_size].max())
         for i in range(n_blocks)
     ]
     return {
@@ -128,7 +133,7 @@ def encode_posting_list(
         "tf_blob": varbyte_encode(tf),
         "dl_blob": varbyte_encode(dl),
         "block_last_doc": block_last,
-        "block_max_score": block_max,
+        "block_max_z": block_max,
     }
 
 
@@ -160,6 +165,107 @@ class PostingIndex:
         )
 
 
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("part_id", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("doc_blob", T.BinaryType()),
+        T.StructField("tf_blob", T.BinaryType()),
+        T.StructField("dl_blob", T.BinaryType()),
+        T.StructField("sum_dl", T.LongType()),
+    ]
+)
+
+#: reserved pseudo-term carrying per-partition corpus stats (n_docs, sum_dl)
+#: — "\x00" can never be produced by the tokenizer ([a-z0-9]+ only), so it
+#: cannot collide with a real term
+STATS_TERM = "\x00stats"
+
+#: adaptive-salt target: a merged shard never exceeds this many postings
+TARGET_SHARD_POSTINGS = 8_000_000
+
+
+def _build_partials(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stage 1 — map-side partial posting lists, ZERO shuffle.
+
+    One mapInPandas pass per input partition: tokenize, accumulate per-term
+    (doc_id, tf, dl) arrays, emit one delta+varbyte blob per (term,
+    partition). This is the combiner trick: the term-wise shuffle then moves
+    ~|partitions| x |vocab| compressed blobs (1-2 bytes/posting) instead of
+    one 30-byte row per posting — an order of magnitude less traffic, and
+    the expensive tokenize/encode work is embarrassingly parallel.
+    """
+    from collections import Counter
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.spark_partition_id().alias("part_id"),
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkforward.tokenize import tokenize
+
+        acc: dict[str, list[list[int]]] = {}
+        part_id = 0
+        n_docs = 0
+        sum_dl = 0
+        for pdf in it:
+            if len(pdf):
+                part_id = int(pdf["part_id"].iloc[0])
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = tokenize(text or "")
+                if not toks:
+                    continue
+                dl = len(toks)
+                n_docs += 1
+                sum_dl += dl
+                d = int(doc_id)
+                for t, c in Counter(toks).items():
+                    cur = acc.get(t)
+                    if cur is None:
+                        cur = acc[t] = [[], [], []]
+                    cur[0].append(d)
+                    cur[1].append(c)
+                    cur[2].append(dl)
+        # per-partition corpus stats ride along as one pseudo-term row —
+        # N/avgdl then come from a 128-row aggregate instead of a second
+        # full corpus scan
+        rows = [
+            {
+                "term": STATS_TERM,
+                "part_id": part_id,
+                "n": n_docs,
+                "doc_blob": None,
+                "tf_blob": None,
+                "dl_blob": None,
+                "sum_dl": sum_dl,
+            }
+        ]
+        for t, (ds, cs, dls) in acc.items():
+            d_arr = np.asarray(ds, dtype=np.int64)
+            order = np.argsort(d_arr, kind="stable")
+            d_arr = d_arr[order]
+            rows.append(
+                {
+                    "term": t,
+                    "part_id": part_id,
+                    "n": len(ds),
+                    "doc_blob": varbyte_encode(np.diff(d_arr, prepend=np.int64(0))),
+                    "tf_blob": varbyte_encode(np.asarray(cs, dtype=np.int64)[order]),
+                    "dl_blob": varbyte_encode(np.asarray(dls, dtype=np.int64)[order]),
+                    "sum_dl": None,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["term", "part_id", "n", "doc_blob", "tf_blob", "dl_blob", "sum_dl"],
+        )
+
+    return src.mapInPandas(build, schema=PARTIAL_SCHEMA)
+
+
 def build_inverted_index(
     docs: DataFrame,
     path: str,
@@ -173,15 +279,33 @@ def build_inverted_index(
 ) -> PostingIndex:
     """Corpus DataFrame -> on-disk posting index. Doc ids must be integral.
 
-    ``resume=True`` skips term-hash partitions already recorded in the
+    Two stages: map-side partials (no shuffle), then a blob-weight shuffle
+    by (term, salt) that k-way-merges the shards and attaches block-max
+    metadata. Salting is **adaptive**: a term whose df exceeds
+    ``salt_threshold`` keeps ``min(n_salt, ceil(df / TARGET_SHARD_POSTINGS))``
+    shards at minimum granularity — no reducer ever owns more than a bounded
+    slice of a Zipf head term, which AQE alone cannot guarantee for a
+    skewed groupBy.
+
+    ``resume=True`` skips term-hash buckets already recorded in the
     checkpoint manifest (per-partition lineage + metrics, checkpoint.py).
     """
     from sparkforward.checkpoint import completed_partitions, manifest_writer
 
     spark = docs.sparkSession
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
-    df_stats, global_stats = corpus_stats(tf)
-    g = global_stats.collect()[0]
+    raw_partials = _build_partials(docs, id_col, text_col).persist()
+    partials = raw_partials.filter(F.col("term") != STATS_TERM)
+
+    # all statistics come from the partials — the corpus is scanned once
+    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df"))
+    g = (
+        raw_partials.filter(F.col("term") == STATS_TERM)
+        .agg(
+            F.sum("n").cast("double").alias("n_docs"),
+            (F.sum("sum_dl").cast("double") / F.sum("n")).alias("avgdl"),
+        )
+        .collect()[0]
+    )
     n_docs, avgdl = float(g["n_docs"]), float(g["avgdl"])
 
     terms = df_stats.withColumn(
@@ -192,34 +316,41 @@ def build_inverted_index(
         ),
     )
 
-    # salt head terms: salt = pmod(xxhash64(doc_id), n_salt), 0 for the tail
-    head = F.col("df") > F.lit(int(salt_threshold))
-    tf_s = (
-        tf.join(F.broadcast(terms.select("term", "df", "idf")), "term")
-        .withColumn(
-            "salt",
-            F.when(head, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt)))
-            .otherwise(F.lit(0))
-            .cast("int"),
+    # adaptive salt per head term (tiny driver map, inlined as a literal)
+    head = {
+        r["term"]: min(
+            int(n_salt),
+            max(2, -(-int(r["df"]) // TARGET_SHARD_POSTINGS)),
         )
-    )
+        for r in df_stats.filter(F.col("df") > int(salt_threshold)).collect()
+    }
+    if head:
+        salt_map = F.create_map(
+            *[F.lit(x) for kv in head.items() for x in kv]
+        )
+        salt_expr = F.coalesce(
+            F.pmod(F.col("part_id"), salt_map[F.col("term")]), F.lit(0)
+        ).cast("int")
+    else:
+        salt_expr = F.lit(0).cast("int")
+    salted = partials.withColumn("salt", salt_expr)
     if num_partitions:
-        tf_s = tf_s.repartition(num_partitions, "term", "salt")
+        salted = salted.repartition(num_partitions, "term", "salt")
 
     done = completed_partitions(path) if resume else frozenset()
     write_manifest = manifest_writer(path)
 
-    def encode_groups(
-        keys: tuple, pdf: pd.DataFrame
-    ) -> pd.DataFrame:
+    def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = keys
+        ds, tfs, dls = [], [], []
+        for _, row in pdf.iterrows():
+            d, tf_a, dl_a = decode_posting_list(row)
+            ds.append(d)
+            tfs.append(tf_a)
+            dls.append(dl_a)
         enc = encode_posting_list(
-            pdf["doc_id"].astype("int64").to_numpy(),
-            pdf["tf"].astype("int64").to_numpy(),
-            pdf["dl"].astype("int64").to_numpy(),
-            float(pdf["idf"].iloc[0]),
-            avgdl,
-            block_size,
+            np.concatenate(ds), np.concatenate(tfs), np.concatenate(dls),
+            avgdl, block_size,
         )
         return pd.DataFrame(
             [
@@ -231,13 +362,13 @@ def build_inverted_index(
                     "tf_blob": enc["tf_blob"],
                     "dl_blob": enc["dl_blob"],
                     "block_last_doc": enc["block_last_doc"],
-                    "block_max_score": enc["block_max_score"],
+                    "block_max_z": enc["block_max_z"],
                 }
             ]
         )
 
-    postings = tf_s.groupBy("term", "salt").applyInPandas(
-        encode_groups, schema=POSTING_SCHEMA
+    postings = salted.groupBy("term", "salt").applyInPandas(
+        merge_groups, schema=POSTING_SCHEMA
     )
     # resumable write: partition-by term-hash bucket; skip completed buckets
     n_buckets = num_partitions or 32
@@ -260,6 +391,7 @@ def build_inverted_index(
     )
 
     terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    raw_partials.unpersist()
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,

@@ -31,14 +31,17 @@ TOKEN_RE = re.compile(r"[a-z0-9]+")
 #: the same rule as a split pattern (Spark SQL / DuckDB oracle side)
 SPLIT_PATTERN = "[^a-z0-9]+"
 
-TF_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("term", T.StringType()),
-        T.StructField("tf", T.IntegerType()),
-        T.StructField("dl", T.IntegerType()),
-    ]
-)
+def _tf_schema(id_type: T.DataType) -> T.StructType:
+    """tf schema preserving the corpus id type (integral ids stay integral —
+    a 26M-row shuffle of long ids is far cheaper than strings)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("dl", T.IntegerType()),
+        ]
+    )
 
 
 def tokenize(text: str) -> list[str]:
@@ -53,11 +56,11 @@ def term_frequencies(
 
     ``dl`` (document length in tokens) is replicated on every term row of the
     doc so downstream BM25 needs no extra join. Documents with zero tokens
-    produce no rows (consistently excluded from N/avgdl).
+    produce no rows (consistently excluded from N/avgdl). The id column's
+    type is preserved (integral ids shuffle much cheaper than strings).
     """
-    src = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
-    )
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    schema = _tf_schema(src.schema["doc_id"].dataType)
 
     def tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -79,7 +82,7 @@ def term_frequencies(
                 {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
             )
 
-    return src.mapInPandas(tf_batches, schema=TF_SCHEMA)
+    return src.mapInPandas(tf_batches, schema=schema)
 
 
 def doc_lengths(tf: DataFrame) -> DataFrame:

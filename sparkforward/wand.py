@@ -55,7 +55,9 @@ class _TermCursor:
             docs_l.append(d)
             tfs_l.append(tf)
             dls_l.append(dl)
-            bm = np.asarray(row["block_max_score"], dtype=np.float64)
+            # stored bound is idf-free (postings.encode_posting_list);
+            # multiplying by the positive idf keeps it an exact upper bound
+            bm = term_idf * np.asarray(row["block_max_z"], dtype=np.float64)
             block_max_l.append(bm)
             block_of_l.append(block_base + np.arange(len(d)) // block_size)
             block_base += len(bm)

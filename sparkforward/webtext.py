@@ -1,0 +1,115 @@
+"""Common-Crawl-style web-page table: synthesis + HTML->text extraction.
+
+BASELINE.json's ``input_hint`` fixes the corpus shape:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+with the per-row invariant that text extracted from ``html`` is
+**byte-identical** per url. This module provides
+
+* :func:`synthesize_webpages` — a deterministic (seed=42) generator of that
+  table at any row count, Zipf(1.2)-skewed vocabulary so head terms really
+  are hot (the salting test case), generated *distributed* via
+  ``mapInPandas`` over a range frame — no driver-side materialization;
+* :func:`extract_text` — the HTML->text pure function as an Arrow-batched
+  kernel, plus the invariant checker used by tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VOCAB = [
+    "the", "a", "data", "spark", "query", "join", "filter", "window",
+    "stream", "sort", "merge", "table", "hash", "group", "agg", "fast",
+    "scan", "column", "slow", "row", "customer", "order", "key", "big",
+    "small", "value", "vector", "batch", "index", "score", "rank", "term",
+    "page", "link", "crawl", "web", "text", "html", "lang", "shard",
+    # long tail
+    *[f"tail{i}" for i in range(60)],
+]
+LANGS = ["en", "de", "es", "fr", "zh"]
+SEED = 42
+
+WEBPAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _zipf_probs(n: int, s: float = 1.2) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks**-s
+    return p / p.sum()
+
+
+def _row(i: int) -> tuple:
+    """Deterministic row i — independent of partitioning."""
+    rng = np.random.default_rng(SEED + i)
+    n_tokens = int(rng.integers(20, 121))
+    probs = _zipf_probs(len(VOCAB))
+    toks = rng.choice(VOCAB, size=n_tokens, p=probs)
+    text = " ".join(toks)
+    url = f"https://site{i % 997}.example/p/{i}"
+    ts = pd.Timestamp("2025-01-01", tz="UTC") + pd.Timedelta(seconds=i * 137)
+    html = f"<html><body>{text}</body></html>".encode("utf-8")
+    lang = LANGS[int(rng.integers(0, len(LANGS)))]
+    return url, ts, html, text, lang
+
+
+def synthesize_webpages(
+    spark: SparkSession, n_rows: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic webtext corpus, generated in parallel across executors."""
+    base = spark.range(0, n_rows, 1, num_partitions or max(32, n_rows // 50_000))
+
+    def gen(it):
+        for pdf in it:
+            rows = [_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return base.mapInPandas(gen, schema=WEBPAGE_SCHEMA)
+
+
+def extract_text(df: DataFrame, html_col: str = "html", out_col: str = "extracted_text") -> DataFrame:
+    """HTML -> text extraction (deterministic pure function, Arrow-batched).
+
+    Strips tags and normalizes nothing else — byte-identical output per url
+    is the contract (BASELINE.json input_hint); tests assert
+    ``extracted_text == text`` on the synthesized corpus.
+    """
+    import re
+
+    tag_re = re.compile(rb"<[^>]*>")
+
+    def extract(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                tag_re.sub(b"", bytes(h)).decode("utf-8") for h in pdf[html_col]
+            ]
+            yield pdf
+
+    fields = df.schema.fields + [T.StructField(out_col, T.StringType())]
+    return df.mapInPandas(extract, schema=T.StructType(fields))
+
+
+def webpages_as_documents(df: DataFrame) -> DataFrame:
+    """Adapt the webpage shape to the engine's (doc_id, text) contract.
+
+    Integral doc ids (needed by the delta-encoded postings) are recovered
+    from the deterministic url pattern; a general crawl would instead
+    assign ids via a dictionary table (url -> dense id) built once.
+    """
+    return df.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "text",
+        "lang",
+    )

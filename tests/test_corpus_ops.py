@@ -1,0 +1,273 @@
+"""Webtext synthesis/extraction, dedup, similarity, text stats, encoders,
+quantization, coalescing — the corpus-pipeline operator suite."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- webtext #
+def test_webpage_synthesis_deterministic(spark):
+    from sparkforward.webtext import synthesize_webpages
+
+    a = synthesize_webpages(spark, 200, num_partitions=1).toPandas()
+    b = synthesize_webpages(spark, 200, num_partitions=7).toPandas()
+    key = "url"
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["url"].is_unique
+    assert set(a["lang"]).issubset({"en", "de", "es", "fr", "zh"})
+
+
+def test_extraction_byte_identical(spark):
+    """The input_hint invariant: extracted text == text, byte-identical."""
+    from sparkforward.webtext import extract_text, synthesize_webpages
+
+    pages = synthesize_webpages(spark, 300, num_partitions=4)
+    bad = (
+        extract_text(pages)
+        .filter(F.col("extracted_text") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_webpages_to_documents_and_bm25(spark):
+    """End-to-end: synth webtext -> extract -> BM25 over the webpage table."""
+    from sparkforward.bm25 import bm25_topk
+    from sparkforward.webtext import synthesize_webpages, webpages_as_documents
+
+    docs = webpages_as_documents(synthesize_webpages(spark, 500, num_partitions=4))
+    qdf = spark.createDataFrame([("q1", "spark query data")], "q_id string, query string")
+    out = bm25_topk(docs, qdf, k=10).toPandas()
+    assert len(out) == 10
+    assert out["rank"].tolist() == list(range(1, 11))
+
+
+# --------------------------------------------------------------- dedup #
+def test_exact_duplicates(spark):
+    from sparkforward.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 3
+    assert got[0]["rep_doc_id"] == 1
+
+
+def test_minhash_finds_planted_near_duplicate(spark):
+    from sparkforward.dedup import minhash_near_duplicates
+
+    base = "spark query join filter window stream sort merge table hash group"
+    near = base + " extra"  # jaccard 11/12 = 0.917
+    far = "completely different words here nothing shared whatsoever at all"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = minhash_near_duplicates(docs, threshold=0.8).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    from sparkforward.dedup import simhash
+
+    base = "spark query join filter window stream sort merge table hash group"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally unrelated content words")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+
+    def hamming(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+    assert hamming(fp[1], fp[2]) <= 16  # near-dup: <= quarter of the bits
+
+
+# ---------------------------------------------------------- similarity #
+def test_cosine_topk_matches_numpy(spark):
+    from sparkforward.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = pdf.loc[pdf["vec_id"] == 0, "embedding"].iloc[0]
+    qdf = spark.createDataFrame([("q1", [float(x) for x in q])], "q_id string, q_vector array<float>")
+    got = cosine_topk(emb, qdf, k=5).toPandas().sort_values("rank")
+
+    M = np.stack(pdf["embedding"].apply(np.asarray)).astype(np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    cos = np.round((M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv)), 6)
+    order = sorted(zip(-cos, pdf["vec_id"]))[:5]
+    want_ids = [str(v) for _, v in order]
+    assert got["id"].tolist() == want_ids
+
+
+def test_lsh_topk_contains_exact_top1(spark):
+    from sparkforward.similarity import cosine_topk, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas()
+    q = pdf.loc[pdf["vec_id"] == 3, "embedding"].iloc[0]
+    qdf = spark.createDataFrame(
+        [("q1", [float(x) for x in q])], "q_id string, q_vector array<float>"
+    )
+    exact = cosine_topk(emb, qdf, k=1).collect()[0]["id"]
+    approx = lsh_topk(emb, qdf, dim=64, k=10, n_bits=6, num_tables=4).toPandas()
+    # the query vector itself lands in its own bucket -> exact top-1 found
+    assert exact in set(approx["id"])
+
+
+# ----------------------------------------------------------- textstats #
+def test_token_counts_match_python(spark):
+    from sparkforward.textstats import token_counts
+    from sparkforward.tokenize import tokenize
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, WORLD! hello"), (2, ""), (3, "a a a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert got[1]["n_tokens"] == len(tokenize("Hello, WORLD! hello")) == 3
+    assert got[1]["n_distinct_terms"] == 2
+    assert got[2]["n_tokens"] == 0
+    assert got[3]["n_tokens"] == 4 and got[3]["n_distinct_terms"] == 2
+
+
+# ------------------------------------------------------------ quantize #
+def test_pq_roundtrip_and_serialization(spark):
+    from sparkforward.quantize import ProductQuantizer
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((512, 16)).astype(np.float32)
+    q = ProductQuantizer(M=4, Ks=16).fit(X)
+    codes = q.encode(X)
+    assert codes.shape == (512, 4) and codes.dtype == np.uint8
+    rec = q.decode(codes)
+    assert rec.shape == X.shape
+    # reconstruction is lossy but bounded
+    mse = float(((rec - X) ** 2).mean())
+    assert mse < 1.0
+    # deterministic: same fit twice -> same codes
+    q2 = ProductQuantizer(M=4, Ks=16).fit(X)
+    assert (q2.encode(X) == codes).all()
+    # serialize round trip
+    q3 = ProductQuantizer.deserialize(q.serialize())
+    assert (q3.encode(X) == codes).all()
+    assert np.allclose(q3.decode(codes), rec)
+
+
+def test_pq_guards(spark):
+    from sparkforward.quantize import ProductQuantizer
+
+    with pytest.raises(ValueError):
+        ProductQuantizer(M=4, Ks=1000)
+    q = ProductQuantizer(M=3, Ks=4)
+    with pytest.raises(ValueError):
+        q.fit(np.zeros((16, 16), dtype=np.float32))  # 16 % 3 != 0
+    q2 = ProductQuantizer(M=4, Ks=4)
+    with pytest.raises(RuntimeError):
+        q2.encode(np.zeros((2, 16), dtype=np.float32))  # not fitted
+    with pytest.raises(RuntimeError):
+        q2.set_attached()  # attach before fit
+    q2.fit(np.random.default_rng(1).standard_normal((32, 16)).astype(np.float32))
+    q2.set_attached()
+    with pytest.raises(RuntimeError):
+        q2.fit(np.zeros((32, 16), dtype=np.float32))  # refit after attach
+
+
+def test_quantized_index_column_roundtrip(spark):
+    from sparkforward.quantize import ProductQuantizer, decode_column, encode_column
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((64, 16)).astype(np.float32)
+    q = ProductQuantizer(M=4, Ks=16).fit(X)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(64)],
+        "vec_id long, vector array<float>",
+    )
+    coded = encode_column(df, q)
+    decoded = decode_column(coded, q).toPandas().sort_values("vec_id")
+    want = q.decode(q.encode(X))
+    got = np.stack(decoded["vector"].apply(np.asarray))
+    assert np.allclose(got, want, atol=1e-6)
+
+
+# ------------------------------------------------------------ coalesce #
+def test_coalescing_golden(spark):
+    """Ref tests/test_index.py:351-366: delta=0.3 merges d0's two vectors
+    into their average; delta small keeps them apart."""
+    from sparkforward.coalesce import coalesce_vectors
+
+    VECTORS = np.array(
+        [[1, 0, 0, 0, 0], [1, 1, 0, 0, 0], [1, 1, 1, 0, 0],
+         [1, 1, 1, 1, 0], [1, 1, 1, 1, 1]], dtype=np.float32,
+    )
+    DOC_IDS = ["d0", "d0", "d1", "d2", "d3"]
+    df = spark.createDataFrame(
+        [(DOC_IDS[i], i, [float(x) for x in VECTORS[i]]) for i in range(5)],
+        "doc_id string, vec_idx long, vector array<float>",
+    )
+    out = coalesce_vectors(df, delta=0.3).toPandas()
+    d0 = out[out["doc_id"] == "d0"]
+    assert len(d0) == 1
+    expected = np.average([VECTORS[0], VECTORS[1]], axis=0)
+    assert np.allclose(np.asarray(d0["vector"].iloc[0]), expected)
+    # every doc keeps at least one vector; doc set preserved
+    assert set(out["doc_id"]) == set(DOC_IDS)
+
+    out2 = coalesce_vectors(df, delta=0.2).toPandas()
+    assert len(out2[out2["doc_id"] == "d0"]) == 2  # nothing merged
+
+
+# ------------------------------------------------------------ encoders #
+def test_hash_encoder_deterministic(spark):
+    from sparkforward.encoders import HashEncoder, encode_df
+
+    enc = HashEncoder(dim=16)
+    a = enc(["hello", "world"])
+    b = enc(["hello", "world"])
+    assert np.array_equal(a, b)
+    assert a.shape == (2, 16)
+    assert not np.array_equal(a[0], a[1])
+    # distributed encoding matches driver-side encoding
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(20)], "id long, query string")
+    out = encode_df(df, enc).toPandas().sort_values("id")
+    want = enc([f"text {i}" for i in range(20)])
+    got = np.stack(out["vector"].apply(np.asarray))
+    assert np.allclose(got, want, atol=1e-7)
+
+
+def test_build_index_firstp_reproducible(spark):
+    """build_index's ordinal must make FIRSTP partition-invariant."""
+    from sparkforward.encoders import LambdaEncoder
+    from sparkforward.index import Mode, build_index
+    from sparkforward.ranking import Ranking
+    from sparkforward.score import ff_score
+
+    def enc_fn(text):
+        # vector depends on text -> passages of a doc differ
+        return np.arange(4, dtype=np.float32) + float(len(text))
+
+    corpus = spark.createDataFrame(
+        [(f"d{i // 2}", f"p{i}", "x" * (i + 1)) for i in range(8)],
+        "doc_id string, psg_id string, text string",
+    )
+    run = {"q1": {f"d{i}": float(i + 1) for i in range(4)}}
+    ranking = Ranking.from_run(spark, run, queries={"q1": "q"})
+    results = []
+    for parts in (1, 4):
+        idx = build_index(
+            corpus.repartition(parts), LambdaEncoder(enc_fn),
+            psg_id_col="psg_id", mode=Mode.FIRSTP,
+        )
+        out = ff_score(ranking, idx, encoder=LambdaEncoder(lambda _: np.ones(4, dtype=np.float32)), mode=Mode.FIRSTP)
+        results.append(out["q1"])
+    assert results[0] == results[1]

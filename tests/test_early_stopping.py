@@ -1,0 +1,64 @@
+"""Early-stopping golden test — the reference's exact 20-row expectation
+(tests/test_index.py:273-333): 20 passages alternating vectors [1,0]/[1,1],
+constant query vector [10,10], cutoff 5, alpha 0.5, depths (2,5,10,20) ->
+exactly the 10 deepest-ranked passages per query are scored, ff scores
+20.0 / 10.0."""
+
+import numpy as np
+import pytest
+
+from sparkforward.index import Mode, VectorIndex
+from sparkforward.ranking import Ranking
+from sparkforward.score import early_stopping_scores
+
+EXPECTED = {
+    "q1": {**{f"p{i}": 20.0 for i in (19, 17, 15, 13, 11)},
+           **{f"p{i}": 10.0 for i in (18, 16, 14, 12, 10)}},
+    "q2": {**{f"p{i}": 20.0 for i in (19, 17, 15, 13, 11)},
+           **{f"p{i}": 10.0 for i in (18, 16, 14, 12, 10)}},
+}
+
+
+@pytest.fixture(scope="module")
+def es_setup(spark):
+    vectors = np.stack([[1, 0], [1, 1]] * 10).astype(np.float32)
+    index = VectorIndex.empty(spark).add(vectors, psg_ids=[f"p{i}" for i in range(20)])
+    run = {q: {f"p{i}": float(i) for i in range(20)} for q in ("q1", "q2")}
+    ranking = Ranking.from_run(spark, run, queries={"q1": "q1", "q2": "q2"})
+    qvecs = {"q1": [10.0, 10.0], "q2": [10.0, 10.0]}
+    return index, ranking, qvecs
+
+
+def _as_dict(r: Ranking):
+    return {q: r[q] for q in r.q_ids()}
+
+
+def test_early_stopping_golden(spark, es_setup):
+    index, ranking, qvecs = es_setup
+    out = early_stopping_scores(
+        ranking, index, cutoff=5, alpha=0.5, depths=(2, 5, 10, 20),
+        query_vectors=qvecs, mode=Mode.PASSAGE,
+    )
+    assert _as_dict(out) == EXPECTED
+
+
+def test_early_stopping_depth_order_invariance(spark, es_setup):
+    index, ranking, qvecs = es_setup
+    out = early_stopping_scores(
+        ranking, index, cutoff=5, alpha=0.5, depths=(5, 2, 20, 10),
+        query_vectors=qvecs, mode=Mode.PASSAGE,
+    )
+    assert _as_dict(out) == EXPECTED
+
+
+def test_early_stopping_equals_full_when_depth_exhausts(spark, es_setup):
+    """With a single depth covering everything, ES == plain scoring."""
+    from sparkforward.score import ff_score
+
+    index, ranking, qvecs = es_setup
+    full = ff_score(ranking, index, query_vectors=qvecs, mode=Mode.PASSAGE)
+    es = early_stopping_scores(
+        ranking, index, cutoff=5, alpha=0.5, depths=(20,),
+        query_vectors=qvecs, mode=Mode.PASSAGE,
+    )
+    assert _as_dict(es) == _as_dict(full)

@@ -1,0 +1,132 @@
+"""Posting-list codec + salted build + WAND serving equivalence + resume."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkforward.postings import (
+    build_inverted_index,
+    decode_posting_list,
+    encode_posting_list,
+    varbyte_decode,
+    varbyte_encode,
+)
+from sparkforward.wand import wand_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = [("q1", "spark query join"), ("q2", "filter window stream"),
+           ("q3", "big small value vector batch"), ("q4", "the a data")]
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [0], [1], [127], [128], [16383], [16384], [0, 0, 0],
+        [2**40, 5, 0, 2**62], list(range(1000)),
+    ],
+)
+def test_varbyte_roundtrip(values):
+    arr = np.asarray(values, dtype=np.int64)
+    assert varbyte_decode(varbyte_encode(arr)).tolist() == values
+
+
+def test_varbyte_random_roundtrip():
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 2**50, size=5000)
+    assert (varbyte_decode(varbyte_encode(arr)) == arr).all()
+
+
+def test_posting_list_roundtrip():
+    rng = np.random.default_rng(7)
+    doc_ids = np.sort(rng.choice(100_000, size=500, replace=False))
+    tfs = rng.integers(1, 30, size=500)
+    dls = rng.integers(20, 121, size=500)
+    enc = encode_posting_list(doc_ids, tfs, dls, avgdl=70.0)
+    row = {k: enc[k] for k in ("doc_blob", "tf_blob", "dl_blob")}
+    d, tf, dl = decode_posting_list(row)
+    assert (d == doc_ids).all()
+    assert (tf == tfs).all()
+    assert (dl == dls).all()
+    assert len(enc["block_last_doc"]) == len(enc["block_max_z"]) == 4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _serve(spark, index, k=10):
+    qdf = spark.createDataFrame(QUERIES, "q_id string, query string")
+    return (
+        wand_topk(index, qdf, k=k)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_salted_equals_unsalted(spark, docs, tmp_path):
+    """Head-term salting must not change served results (SURVEY §7.4-4)."""
+    docs = docs.repartition(8)  # salt granularity comes from input partitions
+    unsalted = build_inverted_index(
+        docs, str(tmp_path / "u"), salt_threshold=10**9, num_partitions=4
+    )
+    salted = build_inverted_index(
+        docs, str(tmp_path / "s"), salt_threshold=50, n_salt=4, num_partitions=4
+    )
+    # salting actually happened: some term has >1 shard
+    shards = salted.postings.groupBy("term").count().toPandas()
+    assert (shards["count"] > 1).any()
+    pd.testing.assert_frame_equal(
+        _serve(spark, unsalted), _serve(spark, salted)
+    )
+
+
+def test_wand_equals_exhaustive(spark, docs, tmp_path):
+    from sparkforward.bm25 import bm25_topk
+
+    index = build_inverted_index(
+        docs, str(tmp_path / "i"), salt_threshold=50, n_salt=4, num_partitions=4
+    )
+    qdf = spark.createDataFrame(QUERIES, "q_id string, query string")
+    exhaustive = (
+        bm25_topk(docs, qdf, k=10)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    served = _serve(spark, index)
+    pd.testing.assert_frame_equal(
+        served, exhaustive, check_dtype=False
+    )
+
+
+def test_resume_skips_completed_buckets(spark, docs, tmp_path):
+    path = str(tmp_path / "r")
+    build_inverted_index(docs, path, num_partitions=4)
+    manifests = sorted(glob.glob(os.path.join(path, "_manifests", "bucket-*.json")))
+    assert len(manifests) == 4
+    # delete one manifest -> only that bucket is rebuilt on resume
+    os.remove(manifests[0])
+    before = set(glob.glob(os.path.join(path, "postings", "bucket=*/*.parquet")))
+    idx = build_inverted_index(docs, path, num_partitions=4, resume=True)
+    after = set(glob.glob(os.path.join(path, "postings", "bucket=*/*.parquet")))
+    assert before <= after  # completed buckets untouched, missing one re-added
+    assert len(glob.glob(os.path.join(path, "_manifests", "bucket-*.json"))) == 4
+    # index still serves correctly after resume
+    assert len(_serve(spark, idx)) > 0
+
+
+def test_manifest_carries_lineage_and_metrics(spark, docs, tmp_path):
+    import json
+
+    path = str(tmp_path / "m")
+    build_inverted_index(docs, path, num_partitions=2)
+    with open(glob.glob(os.path.join(path, "_manifests", "*.json"))[0]) as fh:
+        m = json.load(fh)
+    assert m["status"] == "committed"
+    assert "n_docs" in m["lineage"] and "avgdl" in m["lineage"]
+    assert m["metrics"]["bytes"] > 0
