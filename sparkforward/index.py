@@ -208,9 +208,9 @@ class VectorIndex:
             manifest = json.load(fh)
         quantizer = None
         if manifest.get("quantizer"):
-            from sparkforward.quantize import ProductQuantizer
+            from sparkforward.quantize import deserialize_quantizer
 
-            quantizer = ProductQuantizer.deserialize(manifest["quantizer"])
+            quantizer = deserialize_quantizer(manifest["quantizer"])
         return cls(
             spark.read.parquet(os.path.join(path, "vectors")),
             mode=Mode(manifest.get("mode", "passage")),
@@ -223,6 +223,53 @@ class VectorIndex:
         self.df = self.df.cache()
         return self
 
+    def consolidate(self, num_files: int = 1) -> "VectorIndex":
+        """Compaction (ref InMemoryIndex.consolidate, memory.py:121-131).
+
+        The reference concatenates growth chunks into one contiguous array;
+        the columnar analogue is a coalesce + rewrite (Iceberg:
+        rewrite_data_files). In-memory-only indexes just coalesce.
+        """
+        df = self.df.coalesce(num_files)
+        if self.path:
+            tmp = os.path.join(self.path, "vectors_compact")
+            df.write.mode("overwrite").parquet(tmp)
+            spark = SparkSession.getActiveSession()
+            final = os.path.join(self.path, "vectors")
+            import shutil
+
+            shutil.rmtree(final)
+            os.replace(tmp, final)
+            df = spark.read.parquet(final)
+        return VectorIndex(df, mode=self.mode, quantizer=self.quantizer, path=self.path)
+
+    def batch_iter(self, batch_size: int = 2**16):
+        """Full-scan iterator in insertion order (ref index/base.py:471-513).
+
+        Yields (vectors, doc_ids, psg_ids) NumPy/list batches at the API
+        edge via toLocalIterator — the plan is still a distributed scan; only
+        one partition is resident on the driver at a time. Quantized codes
+        are decoded like the reference's batch_iter.
+        """
+        df = self.df
+        if self.quantizer is not None:
+            from sparkforward.quantize import decode_column
+
+            df = decode_column(df, self.quantizer, "vector")
+        buf_v, buf_d, buf_p = [], [], []
+        for row in df.orderBy("vec_idx").toLocalIterator():
+            buf_v.append(row["vector"])
+            buf_d.append(row["doc_id"])
+            buf_p.append(row["psg_id"])
+            if len(buf_v) == batch_size:
+                yield np.asarray(buf_v, dtype=np.float32), buf_d, buf_p
+                buf_v, buf_d, buf_p = [], [], []
+        if buf_v:
+            yield np.asarray(buf_v, dtype=np.float32), buf_d, buf_p
+
+    def __iter__(self):
+        return self.batch_iter()
+
 
 def build_index(
     corpus: DataFrame,
@@ -231,12 +278,19 @@ def build_index(
     doc_id_col: str = "doc_id",
     psg_id_col: str | None = None,
     mode: Mode = Mode.MAXP,
+    quantizer=None,
+    quantizer_fit_sample: int = 4096,
 ) -> VectorIndex:
     """Distributed corpus -> index build (ref analogue: util/indexer.py).
 
     Encoding runs inside mapInPandas (Arrow batches); ``vec_idx`` is assigned
     deterministically from a per-query-stable ordering of doc/psg ids so that
     FIRSTP/coalescing semantics are reproducible across partitionings.
+
+    With a ``quantizer``: if unfitted, it is fit on a bounded sample of the
+    encoded vectors first (the distributed analogue of the reference's
+    buffer-first-batches strategy, util/indexer.py:106-121), then all
+    vectors are PQ-encoded before storage.
     """
     from sparkforward.encoders import encode_df
 
@@ -248,6 +302,15 @@ def build_index(
     cols.append(F.col(text_col).alias("text"))
     src = corpus.select(*cols)
     encoded = encode_df(src, encoder, text_col="text", out_col="vector").drop("text")
+    if quantizer is not None:
+        from sparkforward.quantize import encode_column, fit_from_dataframe
+
+        encoded = encoded.persist()  # encode once: sample for fit + store
+        if not quantizer.fitted:
+            fit_from_dataframe(encoded, quantizer, vec_col="vector",
+                               sample_size=quantizer_fit_sample)
+        quantizer.set_attached()
+        encoded = encode_column(encoded, quantizer, "vector")
     # Insertion ordinal, scale-safe: FIRSTP/coalescing only need *relative*
     # order per doc, so a globally order-consistent (not contiguous) ordinal
     # suffices. Range-partition + sortWithinPartitions puts rows in global
@@ -259,5 +322,32 @@ def build_index(
     )
     with_idx = ordered.withColumn("vec_idx", F.monotonically_increasing_id())
     return VectorIndex(
-        with_idx.select("vec_idx", "doc_id", "psg_id", "vector"), mode=mode
+        with_idx.select("vec_idx", "doc_id", "psg_id", "vector"),
+        mode=mode,
+        quantizer=quantizer,
     )
+
+
+def transfer_index(source: VectorIndex, quantizer=None,
+                   quantizer_fit_sample: int = 4096) -> VectorIndex:
+    """Index -> index transfer, optionally re-quantizing
+    (ref Indexer.from_index, util/indexer.py:169-178).
+
+    Decodes the source (if quantized), then re-encodes with the new
+    quantizer — a pure ``read -> transform -> write``-shaped plan.
+    """
+    df = source.df
+    if source.quantizer is not None:
+        from sparkforward.quantize import decode_column
+
+        df = decode_column(df, source.quantizer, "vector")
+    if quantizer is not None:
+        from sparkforward.quantize import encode_column, fit_from_dataframe
+
+        df = df.persist()
+        if not quantizer.fitted:
+            fit_from_dataframe(df, quantizer, vec_col="vector",
+                               sample_size=quantizer_fit_sample)
+        quantizer.set_attached()
+        df = encode_column(df, quantizer, "vector")
+    return VectorIndex(df, mode=source.mode, quantizer=quantizer)

@@ -290,14 +290,11 @@ def build_inverted_index(
     ``resume=True`` skips term-hash buckets already recorded in the
     checkpoint manifest (per-partition lineage + metrics, checkpoint.py).
     """
-    from sparkforward.checkpoint import completed_partitions, manifest_writer
-
     spark = docs.sparkSession
     raw_partials = _build_partials(docs, id_col, text_col).persist()
     partials = raw_partials.filter(F.col("term") != STATS_TERM)
 
     # all statistics come from the partials — the corpus is scanned once
-    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df"))
     g = (
         raw_partials.filter(F.col("term") == STATS_TERM)
         .agg(
@@ -306,8 +303,37 @@ def build_inverted_index(
         )
         .collect()[0]
     )
-    n_docs, avgdl = float(g["n_docs"]), float(g["avgdl"])
+    index = merge_partials(
+        spark, partials, path,
+        n_docs=float(g["n_docs"]), avgdl=float(g["avgdl"]),
+        salt_threshold=salt_threshold, n_salt=n_salt, block_size=block_size,
+        num_partitions=num_partitions, resume=resume,
+    )
+    raw_partials.unpersist()
+    return index
 
+
+def merge_partials(
+    spark: SparkSession,
+    partials: DataFrame,
+    path: str,
+    n_docs: float,
+    avgdl: float,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    n_salt: int = DEFAULT_N_SALT,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
+    resume: bool = False,
+) -> PostingIndex:
+    """Stage 2: salted shard merge + block-max metadata + resumable write.
+
+    Shared by the batch builder and the streaming compactor
+    (streaming.compact_streamed_index) — streamed and batch-built indexes go
+    through the identical merge, so they are identical for identical input.
+    """
+    from sparkforward.checkpoint import completed_partitions, manifest_writer
+
+    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df"))
     terms = df_stats.withColumn(
         "idf",
         F.log(
@@ -391,7 +417,6 @@ def build_inverted_index(
     )
 
     terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
-    raw_partials.unpersist()
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,

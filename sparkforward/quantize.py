@@ -148,6 +148,69 @@ class ProductQuantizer:
         return q
 
 
+class OPQ(ProductQuantizer):
+    """Optimized PQ: learn a rotation R, then PQ in the rotated space
+    (ref quantizer/nanopq.py:77-149). Alternating minimization: fit PQ,
+    update R from the SVD of X^T X_rec, repeat."""
+
+    def __init__(self, M: int = 8, Ks: int = 256, seed: int = 42, rotation_iters: int = 5):
+        super().__init__(M=M, Ks=Ks, seed=seed)
+        self.rotation_iters = rotation_iters
+        self.R: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray) -> "OPQ":
+        if self._attached:
+            raise RuntimeError("Quantizer is attached to an index — refit not allowed.")
+        X = np.asarray(X, dtype=np.float32)
+        dim = X.shape[1]
+        R = np.eye(dim, dtype=np.float32)
+        for _ in range(self.rotation_iters):
+            Xr = X @ R
+            super().fit(Xr)
+            # reconstruct in the rotated space (bypass OPQ's own de-rotation)
+            rec = ProductQuantizer.decode(self, ProductQuantizer.encode(self, Xr))
+            U, _, Vt = np.linalg.svd(X.T @ rec)
+            R = (U @ Vt).astype(np.float32)
+        self.R = R
+        super().fit(X @ R)
+        return self
+
+    def encode(self, X: np.ndarray) -> np.ndarray:
+        if self.R is None:
+            raise RuntimeError("Quantizer has not been fit.")
+        return super().encode(np.asarray(X, dtype=np.float32) @ self.R)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        out = super().decode(codes)
+        if self.R is not None:
+            out = out @ self.R.T
+        return out.astype(np.float32)
+
+    def serialize(self) -> dict:
+        payload = super().serialize()
+        payload["attributes"]["rotation_iters"] = self.rotation_iters
+        payload["data"]["R"] = self.R.tolist() if self.R is not None else None
+        return payload
+
+    @classmethod
+    def deserialize(cls, payload: dict) -> "OPQ":
+        q = cls(**payload["attributes"])
+        q.codebooks = np.asarray(payload["data"]["codebooks"], dtype=np.float32)
+        if payload["data"].get("R") is not None:
+            q.R = np.asarray(payload["data"]["R"], dtype=np.float32)
+        return q
+
+
+def deserialize_quantizer(payload: dict) -> ProductQuantizer:
+    """Dynamic re-import dispatch on the (meta) module/class names —
+    the reference's Quantizer.deserialize shape (quantizer/base.py:177-196)."""
+    import importlib
+
+    mod = importlib.import_module(payload["meta"]["module"])
+    cls = getattr(mod, payload["meta"]["name"])
+    return cls.deserialize(payload)
+
+
 def fit_from_dataframe(
     df: DataFrame, quantizer: ProductQuantizer, vec_col: str = "vector",
     sample_size: int = 4096, seed: int = 42,
@@ -165,17 +228,18 @@ def fit_from_dataframe(
 def encode_column(
     df: DataFrame, quantizer: ProductQuantizer, vec_col: str = "vector"
 ) -> DataFrame:
-    """array<float> -> array<tinyint> PQ codes (Arrow-batched kernel)."""
-    books = quantizer.codebooks  # captured in closure, broadcast with the task
+    """array<float> -> array<tinyint> PQ codes (Arrow-batched kernel).
+
+    The fitted quantizer (codebooks + any rotation — a few MB at most) rides
+    in the task closure, i.e. is shipped once per executor like a broadcast.
+    """
+    q = quantizer
 
     @F.pandas_udf(T.ArrayType(T.ShortType()))
     def pq_encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        q = ProductQuantizer(books.shape[0], books.shape[1])
-        q.codebooks = books
         for s in it:
             X = np.stack(s.apply(lambda v: np.asarray(v, dtype=np.float32)))
-            codes = q.encode(X).astype(np.int16)
-            yield pd.Series(list(codes))
+            yield pd.Series(list(q.encode(X).astype(np.int16)))
 
     return df.withColumn(vec_col, pq_encode(F.col(vec_col)))
 
@@ -184,15 +248,12 @@ def decode_column(
     df: DataFrame, quantizer: ProductQuantizer, vec_col: str = "vector"
 ) -> DataFrame:
     """PQ codes -> approximate array<float> vectors (Arrow-batched kernel)."""
-    books = quantizer.codebooks
+    q = quantizer
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def pq_decode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        q = ProductQuantizer(books.shape[0], books.shape[1])
-        q.codebooks = books
         for s in it:
             codes = np.stack(s.apply(lambda v: np.asarray(v, dtype=np.int16)))
-            vecs = q.decode(codes.astype(np.uint8))
-            yield pd.Series(list(vecs))
+            yield pd.Series(list(q.decode(codes.astype(np.uint8))))
 
     return df.withColumn(vec_col, pq_decode(F.col(vec_col)))
