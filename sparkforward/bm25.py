@@ -91,7 +91,10 @@ def bm25_scores(
     Summation per (q, d) uses float64; determinism across partitionings is
     guaranteed at SCORE_DECIMALS granularity (see module docstring).
     """
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    # tf feeds three subtrees (scores, df-stats, N/avgdl); Catalyst does not
+    # dedupe identical subplans, so persist it — one tokenize pass, not three
+    # (verified via .explain: 3x MapInPandas+Scan without this)
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
     df_stats, global_stats = corpus_stats(tf)
     qt = query_terms(queries)
     contribs = score_terms(tf, df_stats, global_stats, qt)
