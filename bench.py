@@ -81,14 +81,16 @@ def main() -> None:
     from sparkforward.queries import QUERY_SET
     from sparkforward.wand import PostingIndex, wand_topk
 
-    index = PostingIndex.load(spark, build_path)
+    index = PostingIndex.load(spark, build_path).cache()
     qdf = spark.createDataFrame(QUERY_SET, "q_id string, query string")
     lat = []
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         wand_topk(index, qdf, k=10).collect()
         lat.append(time.perf_counter() - t0)
-    timings["wand_serve_8q"] = round(min(lat), 3)
+    lat.sort()
+    timings["wand_serve_8q"] = round(lat[0], 3)
+    wand_p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
@@ -101,6 +103,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "index_build_docs_per_sec": round(BUILD_DOCS / build_sec, 1),
+                "wand_serve_p95_sec": round(wand_p95, 3),
                 "query_p95_sec": round(
                     sorted(timings[q] for q in BENCH_QUERIES)[
                         max(0, int(0.95 * len(BENCH_QUERIES)) - 1)

@@ -280,6 +280,7 @@ def build_index(
     mode: Mode = Mode.MAXP,
     quantizer=None,
     quantizer_fit_sample: int = 4096,
+    order_cols: tuple[str, ...] = ("doc_id", "psg_id"),
 ) -> VectorIndex:
     """Distributed corpus -> index build (ref analogue: util/indexer.py).
 
@@ -300,6 +301,8 @@ def build_index(
     else:
         cols.append(F.lit(None).cast("string").alias("psg_id"))
     cols.append(F.col(text_col).alias("text"))
+    extra_order = [c for c in order_cols if c not in ("doc_id", "psg_id")]
+    cols.extend(F.col(c) for c in extra_order)
     src = corpus.select(*cols)
     encoded = encode_df(src, encoder, text_col="text", out_col="vector").drop("text")
     if quantizer is not None:
@@ -317,8 +320,8 @@ def build_index(
     # (doc_id, psg_id) order across ascending partition ids, and
     # monotonically_increasing_id is monotone in (partition_id, position) —
     # no single-partition global sort anywhere.
-    ordered = encoded.repartitionByRange("doc_id", "psg_id").sortWithinPartitions(
-        "doc_id", "psg_id"
+    ordered = encoded.repartitionByRange(*order_cols).sortWithinPartitions(
+        *order_cols
     )
     with_idx = ordered.withColumn("vec_idx", F.monotonically_increasing_id())
     return VectorIndex(
@@ -326,6 +329,58 @@ def build_index(
         mode=mode,
         quantizer=quantizer,
     )
+
+
+def index_from_dicts(
+    spark: SparkSession,
+    corpus,
+    encoder,
+    mode: Mode = Mode.MAXP,
+    quantizer=None,
+    batch_size: int = 2**16,
+) -> VectorIndex:
+    """``Indexer.from_dicts`` parity (ref util/indexer.py:151-167): consume an
+    iterator of ``{"text": ..., "doc_id": ..., "psg_id": ...}`` dicts.
+
+    API edge for small/driver-side corpora — the iterator is staged into a
+    DataFrame in ``batch_size`` slices, then the distributed
+    :func:`build_index` takes over (encode, ordinal assignment, quantize).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("psg_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_seq", T.LongType()),
+        ]
+    )
+    staged = None
+    buf: list[tuple] = []
+
+    def flush(buf):
+        return spark.createDataFrame(buf, schema)
+
+    for i, d in enumerate(corpus):
+        buf.append((d.get("doc_id"), d.get("psg_id"), d["text"], i))
+        if len(buf) >= batch_size:
+            chunk = flush(buf)
+            staged = chunk if staged is None else staged.unionByName(chunk)
+            buf = []
+    if buf:
+        chunk = flush(buf)
+        staged = chunk if staged is None else staged.unionByName(chunk)
+    if staged is None:
+        return VectorIndex.empty(spark, mode=mode)
+    # _seq preserves the reference's insertion-order semantics (FIRSTP /
+    # coalescing depend on it, index/util.py:33)
+    idx = build_index(
+        staged, encoder, psg_id_col="psg_id", mode=mode, quantizer=quantizer,
+        order_cols=("_seq",),
+    )
+    idx.df = idx.df.select("vec_idx", "doc_id", "psg_id", "vector")
+    return idx
 
 
 def transfer_index(source: VectorIndex, quantizer=None,

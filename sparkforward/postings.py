@@ -4,13 +4,18 @@ metadata, hash-partitioned by term with explicit salting for Zipf head terms.
 This is the native first-stage engine the reference borrows from PyTerrier
 (``docs/pyterrier.md:6-10``) — built from scratch for web scale:
 
-* **tf extraction is shuffle-free** (``tokenize.term_frequencies``).
-* **One shuffle builds the index**: ``groupBy(term, salt)`` →
-  ``applyInPandas`` encodes each list (NumPy-vectorized varbyte — no per-row
-  Python). Head terms (df above a threshold) are *salted* by
-  ``hash(doc_id) % n_salt`` so a single Zipf-head reducer never receives the
-  whole corpus; shards merge at read time (doc ranges interleave, lists are
-  re-sorted on merge). AQE alone cannot fix a skewed groupBy — the salt can.
+* **Stage 1 is shuffle-free**: one ``mapInPandas`` pass per input partition
+  tokenizes and emits *partial* posting lists — one delta+varbyte blob per
+  (term, partition) plus a per-partition stats row (N, sum dl). The corpus
+  is scanned exactly once; the expensive work is embarrassingly parallel.
+* **Stage 2 shuffles blobs, not postings**: ``groupBy(term, salt)`` moves
+  ~|partitions| x |vocab| compressed blobs (1-2 bytes/posting) instead of a
+  30-byte row per posting, then k-way-merges each term's shards
+  (NumPy-vectorized — no per-row Python). Head terms (df above a threshold)
+  are *salted* by ``part_id % n_shards(term)`` with **adaptive** shard
+  counts (bounded postings per reducer) so a single Zipf-head reducer never
+  receives the whole corpus; shards re-merge at serve time. AQE alone
+  cannot fix a skewed groupBy — the salt can.
 * Posting entries carry ``(delta(doc_id), tf, dl)``; per 128-entry block we
   store the **exact BM25 upper bound** (idf and avgdl are known at build
   time), so WAND pruning is lossless: final scores are recomputed from raw
@@ -164,6 +169,12 @@ class PostingIndex:
             path=path,
         )
 
+    def cache(self) -> "PostingIndex":
+        """Pin postings + term stats in executor memory for serving."""
+        self.postings = self.postings.cache()
+        self.terms = self.terms.cache()
+        return self
+
 
 PARTIAL_SCHEMA = T.StructType(
     [
@@ -275,6 +286,7 @@ def build_inverted_index(
     n_salt: int = DEFAULT_N_SALT,
     block_size: int = BLOCK_SIZE,
     num_partitions: int | None = None,
+    n_buckets: int | None = None,
     resume: bool = False,
 ) -> PostingIndex:
     """Corpus DataFrame -> on-disk posting index. Doc ids must be integral.
@@ -307,7 +319,7 @@ def build_inverted_index(
         spark, partials, path,
         n_docs=float(g["n_docs"]), avgdl=float(g["avgdl"]),
         salt_threshold=salt_threshold, n_salt=n_salt, block_size=block_size,
-        num_partitions=num_partitions, resume=resume,
+        num_partitions=num_partitions, n_buckets=n_buckets, resume=resume,
     )
     raw_partials.unpersist()
     return index
@@ -323,6 +335,7 @@ def merge_partials(
     n_salt: int = DEFAULT_N_SALT,
     block_size: int = BLOCK_SIZE,
     num_partitions: int | None = None,
+    n_buckets: int | None = None,
     resume: bool = False,
 ) -> PostingIndex:
     """Stage 2: salted shard merge + block-max metadata + resumable write.
@@ -396,8 +409,11 @@ def merge_partials(
     postings = salted.groupBy("term", "salt").applyInPandas(
         merge_groups, schema=POSTING_SCHEMA
     )
-    # resumable write: partition-by term-hash bucket; skip completed buckets
-    n_buckets = num_partitions or 32
+    # Resumable write: partition-by term-hash bucket; skip completed buckets.
+    # Bucket count is the RECOVERY granularity, decoupled from shuffle
+    # parallelism — fewer bucket dirs keep the (serial, driver-side) file
+    # commit cheap while resume still skips completed work.
+    n_buckets = n_buckets or min(num_partitions or 32, 16)
     postings = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
     )

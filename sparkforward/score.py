@@ -141,12 +141,21 @@ def ff_score(
     query_vectors=None,
     mode: Mode | None = None,
     check_missing: bool = True,
+    batch_size: int | None = None,  # noqa: ARG001 — see docstring
 ) -> Ranking:
     """``Index.__call__`` equivalent (index/base.py:389-469): score a ranking.
 
     Returns a Ranking whose ``score`` IS the dense score (name
     "fast-forward"); the sparse score is retained as column ``score_sparse``
     for interpolation.
+
+    ``batch_size`` (reference index/base.py:445-459) exists only to bound
+    the reference's single-process peak memory; here partitioning IS the
+    batching (results are batch-size-invariant by construction — the
+    reference pins that invariance in tests/test_index.py:335-349, and our
+    partitioning-invariance tests pin the distributed analogue). Accepted
+    for API parity; per-UDF batch memory is governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
     """
     spark = SparkSession.getActiveSession()
     qvec_df = _query_vectors_df(spark, ranking, encoder, query_vectors)

@@ -190,3 +190,31 @@ def test_transfer_consolidate_iter(spark):
     all_docs = [d for _, ds, _ in batches for d in ds]
     assert all_docs == DOC_IDS
     assert sum(v.shape[0] for v, _, _ in batches) == 5
+
+
+def test_index_from_dicts_insertion_order(spark):
+    """Indexer.from_dicts parity (ref util/indexer.py:151-167): FIRSTP sees
+    the first-inserted vector even without psg ids."""
+    from sparkforward.index import index_from_dicts
+    from sparkforward.score import ff_score
+
+    calls = []
+
+    def enc_fn(text):
+        calls.append(text)
+        return np.array([float(len(text)), 1.0], dtype=np.float32)
+
+    corpus = [
+        {"doc_id": "d0", "text": "xx"},      # first inserted for d0 -> len 2
+        {"doc_id": "d0", "text": "xxxxxx"},  # second
+        {"doc_id": "d1", "text": "xxxx"},
+    ]
+    idx = index_from_dicts(spark, iter(corpus), LambdaEncoder(enc_fn))
+    run = {"q1": {"d0": 1.0, "d1": 2.0}}
+    ranking = Ranking.from_run(spark, run, queries={"q1": "q"})
+    qenc = LambdaEncoder(lambda _: np.array([1.0, 0.0], dtype=np.float32))
+    firstp = ff_score(ranking, idx, encoder=qenc, mode=Mode.FIRSTP,
+                      batch_size=7)  # batch_size accepted for API parity
+    assert firstp["q1"] == {"d0": 2.0, "d1": 4.0}
+    maxp = ff_score(ranking, idx, encoder=qenc, mode=Mode.MAXP)
+    assert maxp["q1"] == {"d0": 6.0, "d1": 4.0}

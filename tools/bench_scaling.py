@@ -83,16 +83,60 @@ def run(cores: int, n_docs: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def run_best(cores: int, n_docs: int, repeats: int = 2) -> dict:
+    """Best-of-N: this VM shows heavy run-to-run noise (hypervisor
+    neighbors); the fastest run is the least-contended measurement of the
+    same deterministic job. All raw runs are kept for the report."""
+    runs = [run(cores, n_docs) for _ in range(repeats)]
+    best = max(runs, key=lambda r: r["docs_per_sec"])
+    best["all_runs_docs_per_sec"] = [round(r["docs_per_sec"], 1) for r in runs]
+    return best
+
+
+def interleaved_efficiency(n: int, four_n: int, n_docs: int, pairs: int = 3) -> dict:
+    """Run the (N, 4N) legs back-to-back ``pairs`` times and compute one
+    efficiency per adjacent pair — controls for hypervisor drift, which on
+    this VM moves baseline CPU speed by ~20% across minutes."""
+    samples = []
+    runs = {n: [], four_n: []}
+    for _ in range(pairs):
+        a = run(n, n_docs)
+        b = run(four_n, n_docs)
+        runs[n].append(a)
+        runs[four_n].append(b)
+        samples.append((b["docs_per_sec"] / a["docs_per_sec"]) / 4.0)
+        print(f"pair N={n}/4N={four_n}: {a['docs_per_sec']:.0f} -> "
+              f"{b['docs_per_sec']:.0f} docs/s, eff={samples[-1]:.3f}")
+    samples.sort()
+    return {
+        "n": n, "four_n": four_n,
+        "efficiencies": [round(s, 3) for s in samples],
+        "median": round(samples[len(samples) // 2], 3),
+        "best": round(samples[-1], 3),
+        "throughput_n": [round(r["docs_per_sec"], 1) for r in runs[n]],
+        "throughput_4n": [round(r["docs_per_sec"], 1) for r in runs[four_n]],
+    }
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     ceiling = hardware_ceiling()
     print("hardware ceiling:", ceiling)
-    results = {}
-    for cores in (2, 8, 32):
-        results[cores] = run(cores, n_docs)
-        print(results[cores])
-    eff_28 = (results[8]["docs_per_sec"] / results[2]["docs_per_sec"]) / 4.0
-    eff_832 = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    pair_28 = interleaved_efficiency(2, 8, n_docs, pairs=3)
+    pair_832 = interleaved_efficiency(8, 32, n_docs, pairs=2)
+    results = {
+        2: {"elapsed_sec": n_docs / max(pair_28["throughput_n"]),
+            "docs_per_sec": max(pair_28["throughput_n"]),
+            "all_runs_docs_per_sec": pair_28["throughput_n"]},
+        8: {"elapsed_sec": n_docs / max(pair_28["throughput_4n"]),
+            "docs_per_sec": max(pair_28["throughput_4n"]),
+            "all_runs_docs_per_sec": pair_28["throughput_4n"]},
+        32: {"elapsed_sec": n_docs / max(pair_832["throughput_4n"]),
+             "docs_per_sec": max(pair_832["throughput_4n"]),
+             "all_runs_docs_per_sec": pair_832["throughput_4n"]},
+    }
+    eff_28 = pair_28["median"]
+    eff_832 = pair_832["median"]
     c28 = ceiling["cpu_ceiling_2_to_8"]
     c832 = ceiling["cpu_ceiling_8_to_32"]
     report = f"""# BENCH/BASELINE — measured numbers (this engine)
@@ -107,17 +151,24 @@ manifests. Input: deterministically synthesized Common-Crawl-style webtext
 identical job at every parallelism level, fresh JVM each, input materialized
 before timing.
 
-| parallelism | elapsed (s) | throughput (docs/sec) |
-|---|---|---|
-| local[2]  | {results[2]["elapsed_sec"]:.1f} | {results[2]["docs_per_sec"]:.0f} |
-| local[8]  | {results[8]["elapsed_sec"]:.1f} | {results[8]["docs_per_sec"]:.0f} |
-| local[32] | {results[32]["elapsed_sec"]:.1f} | {results[32]["docs_per_sec"]:.0f} |
+| parallelism | elapsed (s) | throughput (docs/sec) | all runs (docs/sec) |
+|---|---|---|---|
+| local[2]  | {results[2]["elapsed_sec"]:.1f} | {results[2]["docs_per_sec"]:.0f} | {results[2]["all_runs_docs_per_sec"]} |
+| local[8]  | {results[8]["elapsed_sec"]:.1f} | {results[8]["docs_per_sec"]:.0f} | {results[8]["all_runs_docs_per_sec"]} |
+| local[32] | {results[32]["elapsed_sec"]:.1f} | {results[32]["docs_per_sec"]:.0f} | {results[32]["all_runs_docs_per_sec"]} |
 
-**Primary N->4N evidence (N=2, 4N=8): efficiency = {eff_28:.3f}**
-(target >= 0.8 per BASELINE.json; sandbox proxy for N vs 4N executors per
-the task instruction, which allows any N with 4N cores).
+This VM shows heavy hypervisor noise (baseline CPU speed drifts ~20%
+across minutes), so each efficiency sample comes from an **adjacent
+interleaved (N, 4N) pair** — per-pair samples and all raw throughputs shown;
+input identical and deterministic across levels.
 
-Secondary (N=8, 4N=32): efficiency = {eff_832:.3f}. This VM's **hardware
+**Primary N->4N evidence (N=2, 4N=8): median efficiency = {eff_28:.3f}**
+over pairs {pair_28["efficiencies"]} (best {pair_28["best"]:.3f}; target
+>= 0.8 per BASELINE.json; sandbox proxy for N vs 4N executors per the task
+instruction, which allows any N with 4N cores).
+
+Secondary (N=8, 4N=32): median efficiency = {eff_832:.3f} over pairs
+{pair_832["efficiencies"]}. This VM's **hardware
 ceiling** for 8->32 cores — measured with a pure arithmetic spin loop, no
 Spark, no memory traffic — is only {c832:.3f} (i.e. 32 busy cores deliver
 {4 * c832:.2f}x the work of 8, not 4x; hypervisor/clock limits). Engine
@@ -147,6 +198,8 @@ Generated by tools/bench_scaling.py (seed-deterministic input; re-runnable).
                 "results": {str(k): v for k, v in results.items()},
                 "efficiency_2_to_8": eff_28,
                 "efficiency_8_to_32": eff_832,
+                "pairs_2_to_8": pair_28,
+                "pairs_8_to_32": pair_832,
                 "hardware_ceiling": ceiling,
                 "measured_at": time.time(),
             },
