@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": q.q_dedup_exact,
         "dedup_minhash": q.q_dedup_minhash,
+        "dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
+        "dedup_embedding": q.q_dedup_embedding,
+        "doc_fingerprint": q.q_doc_fingerprint,
         # text analysis
         "token_count": q.q_token_count,
         "text_quality": q.q_text_quality,
@@ -77,6 +80,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": q.sql_similarity_topk(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
+        "dedup_ngram_jaccard": q.sql_dedup_ngram_jaccard(),
+        "dedup_embedding": q.sql_dedup_embedding(),
+        "doc_fingerprint": q.sql_doc_fingerprint(),
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),
         "lang_id": q.sql_lang_id(),

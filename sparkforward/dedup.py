@@ -174,6 +174,169 @@ WHERE round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) >= {JACCARD_THRESHOLD}
 """
 
 
+NGRAM_N = 3
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+
+def _shingles(docs: DataFrame, text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle) — distinct token n-grams per doc, JVM-side.
+
+    Shingle = space-joined n consecutive tokens (positions via a transform
+    over the token array — no Python, no explode-then-window shuffle).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), SPLIT_PATTERN), lambda t: t != ""
+    )
+    # sequence(0, x) with x < 0 would generate a DESCENDING range in Spark —
+    # guard short docs with an empty array instead
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    threshold: float = NGRAM_JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact n-gram-shingle Jaccard near-dup pairs.
+
+    Candidate pairs come from the shingle self-join (only docs sharing at
+    least one n-gram ever meet — with n>=3, distinct docs rarely collide, so
+    the join is sparse); Jaccard is computed exactly from the intersection
+    count. Scale note: a pathological shingle shared by k docs creates
+    k^2/2 candidate rows — at web scale hot shingles (boilerplate) get
+    df-capped first (drop shingles above a frequency threshold), the same
+    pattern as head-term salting.
+    """
+    sh = _shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, g.shingle
+  FROM toks, unnest(list_transform(
+        range(1, greatest(len(ts) - {NGRAM_N} + 1, 0) + 1),
+        i -> array_to_string(ts[i : i + {NGRAM_N} - 1], ' '))) AS g(shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — embedding-cosine near-duplicate pairs.
+
+    This exact variant is the oracle-checkable baseline (self-join); the
+    scale path reuses similarity.add_simhash_buckets to generate candidates
+    (bucket join) before the exact cosine verify — same verify expression.
+    """
+    from sparkforward.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+EMBEDDING_DUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — 1-permutation MinHash over n-gram shingles.
+
+    The md5-min fingerprint is a locality-sensitive document signature
+    (equal for exact dups, likely-equal for heavy shingle overlap) and is
+    reproducible in ANSI SQL for the oracle. The 64-bit SimHash variant
+    (Hamming-distance friendly) is :func:`simhash`.
+    """
+    sh = _shingles(docs, text_col)
+    return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, g.shingle
+  FROM toks, unnest(list_transform(
+        range(1, greatest(len(ts) - {NGRAM_N} + 1, 0) + 1),
+        i -> array_to_string(ts[i : i + {NGRAM_N} - 1], ' '))) AS g(shingle)
+)
+SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+"""
+
+
 def simhash(
     docs: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:

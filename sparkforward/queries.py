@@ -553,6 +553,42 @@ def sql_dedup_minhash() -> str:
     return MINHASH_SQL
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.dedup import ngram_jaccard_duplicates
+
+    return ngram_jaccard_duplicates(load_documents(spark, sf_dir))
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    from sparkforward.dedup import NGRAM_JACCARD_SQL
+
+    return NGRAM_JACCARD_SQL
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(load_embeddings(spark, sf_dir))
+
+
+def sql_dedup_embedding() -> str:
+    from sparkforward.dedup import EMBEDDING_DUP_SQL
+
+    return EMBEDDING_DUP_SQL
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkforward.dedup import doc_fingerprints
+
+    return doc_fingerprints(load_documents(spark, sf_dir))
+
+
+def sql_doc_fingerprint() -> str:
+    from sparkforward.dedup import DOC_FINGERPRINT_SQL
+
+    return DOC_FINGERPRINT_SQL
+
+
 # ------------------------------------------------------------ text stats #
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.textstats import token_counts

@@ -185,8 +185,14 @@ def wand_topk(
     kk = int(k)
 
     qt = query_terms(queries)
+    # The query-term set is tiny and known before the scan — collect it and
+    # push an In(term, ...) predicate INTO the parquet scan so row-group
+    # min/max pruning on the term-sorted postings skips everything else
+    # (a broadcast join alone would still read every row group).
+    term_list = [r["term"] for r in qt.select("term").distinct().collect()]
     gathered = (
-        index.postings.join(F.broadcast(qt), "term")
+        index.postings.filter(F.col("term").isin(term_list))
+        .join(F.broadcast(qt), "term")
         .join(F.broadcast(index.terms.select("term", "idf")), "term")
     )
 
