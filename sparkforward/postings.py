@@ -75,6 +75,29 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_with_offsets(
+    values: np.ndarray, block_starts: np.ndarray
+) -> tuple[bytes, list[int]]:
+    """Varbyte encode + byte offset of each block's first value.
+
+    The offsets make blobs block-addressable: serving can slice and decode
+    a single block without touching the rest of the list (the lazy
+    block-max WAND path).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", []
+    # byte length per value: position of highest nonzero 7-bit group + 1
+    nb = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while (tmp != 0).any():
+        nb += (tmp != 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    starts_bytes = np.concatenate(([0], ends[:-1]))
+    return varbyte_encode(v), [int(x) for x in starts_bytes[block_starts]]
+
+
 def varbyte_decode(buf: bytes) -> np.ndarray:
     """Vectorized varbyte decoder -> int64 array."""
     b = np.frombuffer(buf, dtype=np.uint8)
@@ -100,6 +123,11 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("dl_blob", T.BinaryType()),
         T.StructField("block_last_doc", T.ArrayType(T.LongType())),
         T.StructField("block_max_z", T.ArrayType(T.DoubleType())),
+        # per-block byte offsets into the three blobs: block-addressable
+        # lists, so WAND decodes only the blocks its cursors actually enter
+        T.StructField("block_doc_off", T.ArrayType(T.LongType())),
+        T.StructField("block_tf_off", T.ArrayType(T.LongType())),
+        T.StructField("block_dl_off", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -121,30 +149,61 @@ def encode_posting_list(
     """
     order = np.argsort(doc_ids, kind="stable")
     d, tf, dl = doc_ids[order], tfs[order], dls[order]
+    n = len(d)
+    starts = np.arange(0, n, block_size)
+    # delta encoding RESTARTS at each block boundary (the block's first value
+    # is the absolute doc id) so a block decodes independently of its
+    # predecessors — the property lazy WAND skipping relies on
     deltas = np.diff(d, prepend=np.int64(0))
+    deltas[starts] = d[starts]
     z = (tf * (K1 + 1.0)) / (
         tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
     )
-    n = len(d)
-    n_blocks = (n + block_size - 1) // block_size
+    n_blocks = len(starts)
     block_last = [int(d[min((i + 1) * block_size, n) - 1]) for i in range(n_blocks)]
     block_max = [
         float(z[i * block_size : (i + 1) * block_size].max())
         for i in range(n_blocks)
     ]
+    doc_blob, doc_off = varbyte_encode_with_offsets(deltas, starts)
+    tf_blob, tf_off = varbyte_encode_with_offsets(tf, starts)
+    dl_blob, dl_off = varbyte_encode_with_offsets(dl, starts)
     return {
         "n": n,
-        "doc_blob": varbyte_encode(deltas),
-        "tf_blob": varbyte_encode(tf),
-        "dl_blob": varbyte_encode(dl),
+        "doc_blob": doc_blob,
+        "tf_blob": tf_blob,
+        "dl_blob": dl_blob,
         "block_last_doc": block_last,
         "block_max_z": block_max,
+        "block_doc_off": doc_off,
+        "block_tf_off": tf_off,
+        "block_dl_off": dl_off,
     }
 
 
 def decode_posting_list(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (doc_ids, tfs, dls) for one shard row."""
+    """-> (doc_ids, tfs, dls) for one PARTIAL row (plain cross-list deltas)."""
     d = np.cumsum(varbyte_decode(bytes(row["doc_blob"])))
+    return d, varbyte_decode(bytes(row["tf_blob"])), varbyte_decode(bytes(row["dl_blob"]))
+
+
+def decode_blocked_posting_list(
+    row, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids, tfs, dls) for one FINAL posting row (block-restart deltas).
+
+    doc deltas restart at each block: within block b,
+    ``doc[i] = cumsum[i] - cumsum[start_b - 1]`` (the block's first stored
+    value is absolute).
+    """
+    vals = varbyte_decode(bytes(row["doc_blob"]))
+    n = len(vals)
+    cs = np.cumsum(vals)
+    starts = np.arange(0, n, block_size)
+    base = np.zeros(len(starts), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    sizes = np.diff(np.concatenate((starts, [n])))
+    d = cs - np.repeat(base, sizes)
     return d, varbyte_decode(bytes(row["tf_blob"])), varbyte_decode(bytes(row["dl_blob"]))
 
 
@@ -391,20 +450,7 @@ def merge_partials(
             np.concatenate(ds), np.concatenate(tfs), np.concatenate(dls),
             avgdl, block_size,
         )
-        return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "salt": int(salt),
-                    "n": enc["n"],
-                    "doc_blob": enc["doc_blob"],
-                    "tf_blob": enc["tf_blob"],
-                    "dl_blob": enc["dl_blob"],
-                    "block_last_doc": enc["block_last_doc"],
-                    "block_max_z": enc["block_max_z"],
-                }
-            ]
-        )
+        return pd.DataFrame([{"term": term, "salt": int(salt), **enc}])
 
     postings = salted.groupBy("term", "salt").applyInPandas(
         merge_groups, schema=POSTING_SCHEMA

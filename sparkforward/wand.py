@@ -1,19 +1,29 @@
-"""Top-k BM25 serving over the posting index: block-max WAND, DAAT.
+"""Top-k BM25 serving over the posting index: block-max WAND, DAAT,
+**lazy block decoding**.
 
-Per query: postings of the query's terms are gathered with a broadcast
-semi-join (parquet row-group pruning on the sorted ``term`` column), salt
-shards are merged, and a document-at-a-time WAND traversal with block-max
-skipping produces the top-k. Pruning is **lossless**: block maxima are exact
-BM25 upper bounds computed at build time, and surviving documents are
-re-scored from raw (tf, dl) with the identical float64 formula as the
-exhaustive scorer — so ``wand_topk == bm25_topk`` holds exactly (it is the
-driver's oracle check for this query).
+Per query: postings of the query's terms are gathered with a driver-known
+``In(term, ...)`` predicate (pushed into the parquet scan — row-group
+min/max pruning on the sorted ``term`` column) plus a broadcast join for
+per-term idf; a document-at-a-time WAND traversal with block-max skipping
+produces the top-k.
 
-Scale shape: one task per query group (``applyInPandas`` over q_id). The
-decoded working set is bounded by the query's posting sizes; for head-heavy
-queries at 10^12 docs the follow-up is partition-parallel WAND (per
-(q_id, doc-range) with a final top-k merge window) — the storage layout
-(salted shards, block metadata) already supports it.
+Two properties make this the 10^12-doc shape:
+
+* **Salt shards are first-class cursors.** A term's salted shards enter the
+  WAND live list as independent cursors (a doc lives in exactly one shard
+  per term, so scores never double-count; the upper bound over-counts
+  across shards of one term, which only weakens pruning, never correctness).
+* **Blocks decode lazily.** Blobs are block-addressable (per-block byte
+  offsets; doc deltas restart per block — postings.encode_posting_list), so
+  ``seek`` jumps via binary search over ``block_last_doc`` and only the
+  blocks a cursor actually enters are ever decompressed. Serving cost is
+  O(blocks touched), not O(df).
+
+Pruning is **lossless**: block maxima are exact BM25 upper bounds computed
+at build time, and surviving documents are re-scored from raw (tf, dl) with
+the identical float64 formula as the exhaustive scorer — so
+``wand_topk == bm25_topk`` holds exactly at the rounded-score granularity
+(it is the driver's oracle check for this query).
 """
 
 from __future__ import annotations
@@ -27,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sparkforward.bm25 import B, K1, SCORE_DECIMALS
-from sparkforward.postings import PostingIndex, decode_posting_list
+from sparkforward.postings import PostingIndex, varbyte_decode
 from sparkforward.tokenize import query_terms
 
 RESULT_SCHEMA = T.StructType(
@@ -40,79 +50,137 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
-class _TermCursor:
-    """Merged (over salt shards) posting cursor for one query term."""
+class _ShardCursor:
+    """Lazy cursor over ONE (term, salt) shard row.
 
-    __slots__ = ("doc_ids", "scores", "block_of", "block_max", "pos", "max_score")
+    Decodes a block only when the cursor enters it; ``seek`` skips whole
+    blocks via binary search on ``block_last_doc``.
+    """
 
-    def __init__(self, rows: pd.DataFrame, avgdl: float, block_size: int):
-        docs_l, tfs_l, dls_l = [], [], []
-        block_max_l, block_of_l = [], []
-        block_base = 0
-        term_idf = float(rows["idf"].iloc[0])
-        for _, row in rows.iterrows():
-            d, tf, dl = decode_posting_list(row)
-            docs_l.append(d)
-            tfs_l.append(tf)
-            dls_l.append(dl)
-            # stored bound is idf-free (postings.encode_posting_list);
-            # multiplying by the positive idf keeps it an exact upper bound
-            bm = term_idf * np.asarray(row["block_max_z"], dtype=np.float64)
-            block_max_l.append(bm)
-            block_of_l.append(block_base + np.arange(len(d)) // block_size)
-            block_base += len(bm)
-        d = np.concatenate(docs_l)
-        tf = np.concatenate(tfs_l)
-        dl = np.concatenate(dls_l)
-        block_of = np.concatenate(block_of_l)
-        order = np.argsort(d, kind="stable")  # salt shards interleave doc ids
-        self.doc_ids = d[order]
-        # exact per-posting score (float64, same formula as bm25.py)
-        tf64 = tf[order].astype(np.float64)
-        self.scores = term_idf * (tf64 * (K1 + 1.0)) / (
-            tf64 + K1 * (1.0 - B + B * dl[order].astype(np.float64) / avgdl)
+    __slots__ = (
+        "idf", "avgdl", "n", "block_size",
+        "doc_blob", "tf_blob", "dl_blob",
+        "block_last", "block_max", "doc_off", "tf_off", "dl_off",
+        "n_blocks", "block_idx", "in_block",
+        "_docs", "_scores", "_decoded_block",
+        "max_score", "blocks_decoded",
+    )
+
+    def __init__(self, row, avgdl: float, block_size: int):
+        self.idf = float(row["idf"])
+        self.avgdl = avgdl
+        self.n = int(row["n"])
+        self.block_size = block_size
+        self.doc_blob = bytes(row["doc_blob"])
+        self.tf_blob = bytes(row["tf_blob"])
+        self.dl_blob = bytes(row["dl_blob"])
+        self.block_last = np.asarray(row["block_last_doc"], dtype=np.int64)
+        self.block_max = self.idf * np.asarray(row["block_max_z"], dtype=np.float64)
+        self.doc_off = [int(x) for x in row["block_doc_off"]]
+        self.tf_off = [int(x) for x in row["block_tf_off"]]
+        self.dl_off = [int(x) for x in row["block_dl_off"]]
+        self.n_blocks = len(self.block_last)
+        self.block_idx = 0
+        self.in_block = 0
+        self._docs: np.ndarray | None = None
+        self._scores: np.ndarray | None = None
+        self._decoded_block = -1
+        self.max_score = float(self.block_max.max()) if self.n_blocks else 0.0
+        self.blocks_decoded = 0
+
+    # ----------------------------- decoding ---------------------------- #
+    def _decode_block(self, b: int) -> None:
+        if self._decoded_block == b:
+            return
+        d0 = self.doc_off[b]
+        d1 = self.doc_off[b + 1] if b + 1 < self.n_blocks else len(self.doc_blob)
+        t0 = self.tf_off[b]
+        t1 = self.tf_off[b + 1] if b + 1 < self.n_blocks else len(self.tf_blob)
+        l0 = self.dl_off[b]
+        l1 = self.dl_off[b + 1] if b + 1 < self.n_blocks else len(self.dl_blob)
+        deltas = varbyte_decode(self.doc_blob[d0:d1])
+        self._docs = np.cumsum(deltas)  # first value is absolute (restart)
+        tf = varbyte_decode(self.tf_blob[t0:t1]).astype(np.float64)
+        dl = varbyte_decode(self.dl_blob[l0:l1]).astype(np.float64)
+        self._scores = self.idf * (tf * (K1 + 1.0)) / (
+            tf + K1 * (1.0 - B + B * dl / self.avgdl)
         )
-        self.block_of = block_of[order]
-        self.block_max = np.concatenate(block_max_l) if block_max_l else np.array([])
-        self.pos = 0
-        self.max_score = float(self.block_max.max()) if len(self.block_max) else 0.0
+        self._decoded_block = b
+        self.blocks_decoded += 1
+
+    # ------------------------------ cursor ----------------------------- #
+    def exhausted(self) -> bool:
+        return self.block_idx >= self.n_blocks
 
     def current(self) -> int:
-        return int(self.doc_ids[self.pos]) if self.pos < len(self.doc_ids) else -1
+        if self.exhausted():
+            return -1
+        self._decode_block(self.block_idx)
+        return int(self._docs[self.in_block])
 
-    def exhausted(self) -> bool:
-        return self.pos >= len(self.doc_ids)
-
-    def seek(self, target: int) -> None:
-        """Advance to the first posting with doc_id >= target (galloping)."""
-        self.pos += int(
-            np.searchsorted(self.doc_ids[self.pos :], target, side="left")
-        )
+    def current_score(self) -> float:
+        self._decode_block(self.block_idx)
+        return float(self._scores[self.in_block])
 
     def current_block_max(self) -> float:
         if self.exhausted():
             return 0.0
-        return float(self.block_max[int(self.block_of[self.pos])])
+        return float(self.block_max[self.block_idx])
+
+    def advance(self) -> None:
+        self.in_block += 1
+        block_len = self._block_len(self.block_idx)
+        if self.in_block >= block_len:
+            self.block_idx += 1
+            self.in_block = 0
+
+    def _block_len(self, b: int) -> int:
+        if b == self.n_blocks - 1:
+            return self.n - b * self.block_size
+        return self.block_size
+
+    def seek(self, target: int) -> None:
+        """First posting with doc >= target. Blocks whose last doc is below
+        the target are skipped WITHOUT decoding."""
+        if self.exhausted():
+            return
+        b = self.block_idx + int(
+            np.searchsorted(self.block_last[self.block_idx :], target, side="left")
+        )
+        if b >= self.n_blocks:
+            self.block_idx = self.n_blocks
+            self.in_block = 0
+            return
+        if b != self.block_idx:
+            self.block_idx = b
+            self.in_block = 0
+        self._decode_block(b)
+        self.in_block = max(
+            self.in_block,
+            int(np.searchsorted(self._docs, target, side="left")),
+        )
+        # target might exceed every doc in this block only if block_last lied
+        if self.in_block >= self._block_len(b):  # pragma: no cover (defensive)
+            self.block_idx += 1
+            self.in_block = 0
 
 
 def wand_query(
     term_rows: pd.DataFrame, k: int, avgdl: float, block_size: int
 ) -> list[tuple[int, float]]:
-    """Block-max WAND over one query's term postings -> [(doc_id, score)].
+    """Block-max WAND over one query's shard rows -> [(doc_id, score)].
 
-    Returns the exact top-k by (score desc, doc_id asc); ``score`` is the
-    float64 BM25 sum over the query's matching terms.
+    Returns the exact top-k by (rounded score desc, doc_id asc); ``score``
+    is the float64 BM25 sum over the query's matching terms, rounded to
+    SCORE_DECIMALS — identical to the exhaustive scorer's ranking rule.
     """
     cursors = [
-        _TermCursor(rows, avgdl, block_size)
-        for _, rows in term_rows.groupby("term", sort=True)
+        _ShardCursor(row, avgdl, block_size) for _, row in term_rows.iterrows()
     ]
-    # Ranking happens on scores rounded to SCORE_DECIMALS (like the
-    # exhaustive path), so heap items compare (rounded score, -doc_id): ties
-    # keep the smaller doc_id. Upper bounds are raw float64; pruning uses a
-    # margin of one rounding unit so a raw score that would round up to tie
-    # the threshold is never skipped — pruning stays lossless w.r.t. the
-    # rounded ranking.
+    # Heap items compare (rounded score, -doc_id): ties keep the smaller
+    # doc_id. Upper bounds are raw float64; pruning uses a one-rounding-unit
+    # margin so a raw score that would round up to tie the threshold is
+    # never skipped — pruning stays lossless w.r.t. the rounded ranking.
     eps = 10.0 ** (-SCORE_DECIMALS)
     heap: list[tuple[float, int]] = []
     threshold = -np.inf
@@ -122,8 +190,7 @@ def wand_query(
         if not live:
             break
         live.sort(key=lambda c: c.current())
-        # find pivot: smallest prefix whose term-level UB sum could still
-        # reach the (margin-lowered) threshold
+        # pivot: smallest prefix whose UB sum could still reach the threshold
         acc = 0.0
         pivot_idx = -1
         for i, c in enumerate(live):
@@ -132,27 +199,25 @@ def wand_query(
                 pivot_idx = i
                 break
         if pivot_idx == -1:
-            break  # no document can beat the threshold
+            break
         pivot_doc = live[pivot_idx].current()
-        # cursors beyond pivot_idx may also sit on pivot_doc (ties in the
-        # sorted order) — they contribute to the pivot's upper bound too
+        # extend to every cursor sitting on the pivot doc (sorted ties)
         end = pivot_idx
         while end + 1 < len(live) and live[end + 1].current() == pivot_doc:
             end += 1
-        # block-max refinement: tighter UB using the cursors' current blocks
+        # block-max refinement over the prefix's current blocks
         block_ub = sum(c.current_block_max() for c in live[: end + 1])
         if block_ub <= threshold - eps:
-            # skip: advance the cursor with the largest max past the pivot
             mover = max(live[: end + 1], key=lambda c: c.max_score)
             mover.seek(pivot_doc + 1)
             continue
         if live[0].current() == pivot_doc:
-            # all preceding cursors aligned on pivot -> fully score it
+            # aligned: fully score the pivot document
             score = 0.0
-            for c in live:  # term-sorted order: deterministic summation
+            for c in live:
                 if c.current() == pivot_doc:
-                    score += float(c.scores[c.pos])
-                    c.pos += 1
+                    score += c.current_score()
+                    c.advance()
                 elif c.current() > pivot_doc:
                     break
             item = (round(score, SCORE_DECIMALS), -pivot_doc)
@@ -164,7 +229,6 @@ def wand_query(
                 heapq.heapreplace(heap, item)
                 threshold = heap[0][0]
         else:
-            # not aligned: advance cursors before the pivot up to it
             for c in live[:pivot_idx]:
                 if c.current() < pivot_doc:
                     c.seek(pivot_doc)
@@ -177,8 +241,8 @@ def wand_topk(
 ) -> DataFrame:
     """(q_id, id, rank, score) — distributed top-k serving.
 
-    One ``applyInPandas`` group per query; postings pruned to query terms by
-    a broadcast join before any decode.
+    One ``applyInPandas`` group per query; postings pruned to query terms
+    before any decode via a pushed-down In-filter on the term-sorted scan.
     """
     avgdl = float(index.stats["avgdl"])
     block_size = int(index.stats.get("block_size", 128))

@@ -9,7 +9,7 @@ import pytest
 
 from sparkforward.postings import (
     build_inverted_index,
-    decode_posting_list,
+    decode_blocked_posting_list,
     encode_posting_list,
     varbyte_decode,
     varbyte_encode,
@@ -45,12 +45,33 @@ def test_posting_list_roundtrip():
     tfs = rng.integers(1, 30, size=500)
     dls = rng.integers(20, 121, size=500)
     enc = encode_posting_list(doc_ids, tfs, dls, avgdl=70.0)
-    row = {k: enc[k] for k in ("doc_blob", "tf_blob", "dl_blob")}
-    d, tf, dl = decode_posting_list(row)
+    d, tf, dl = decode_blocked_posting_list(enc)
     assert (d == doc_ids).all()
     assert (tf == tfs).all()
     assert (dl == dls).all()
     assert len(enc["block_last_doc"]) == len(enc["block_max_z"]) == 4
+    assert len(enc["block_doc_off"]) == 4 and enc["block_doc_off"][0] == 0
+
+
+def test_lazy_cursor_skips_blocks():
+    """A selective seek decodes only the blocks it lands in."""
+    from sparkforward.wand import _ShardCursor
+
+    rng = np.random.default_rng(3)
+    doc_ids = np.sort(rng.choice(1_000_000, size=10_000, replace=False))
+    tfs = rng.integers(1, 30, size=10_000)
+    dls = rng.integers(20, 121, size=10_000)
+    enc = encode_posting_list(doc_ids, tfs, dls, avgdl=70.0, block_size=128)
+    row = {**enc, "idf": 1.5}
+    cur = _ShardCursor(row, avgdl=70.0, block_size=128)
+    target = int(doc_ids[9_000])
+    cur.seek(target)
+    assert cur.current() == target
+    assert cur.blocks_decoded <= 2  # jumped ~70 blocks without decoding
+    # score at the landing position matches the direct formula
+    i = 9_000
+    expect = 1.5 * (tfs[i] * (1.2 + 1)) / (tfs[i] + 1.2 * (1 - 0.75 + 0.75 * dls[i] / 70.0))
+    assert abs(cur.current_score() - expect) < 1e-12
 
 
 @pytest.fixture(scope="module")
