@@ -236,6 +236,45 @@ def wand_query(
     return [(-d, s) for s, d in out]
 
 
+#: below this many total candidate postings per query, fully-vectorized TAAT
+#: beats WAND (decode is cheap, pruning can't help head-heavy queries);
+#: above it, lazy block skipping dominates. Both paths produce identical
+#: rankings (same float64 formula, same rounding, same tie rule — tested).
+TAAT_MAX_POSTINGS = 4_000_000
+
+
+def taat_query(
+    term_rows: pd.DataFrame, k: int, avgdl: float, block_size: int
+) -> list[tuple[int, float]]:
+    """Term-at-a-time exhaustive scoring, fully NumPy-vectorized.
+
+    Decodes every shard, accumulates per-doc sums with
+    ``np.add.reduceat`` over the doc-sorted concatenation, ranks by
+    (rounded score desc, doc asc) — the exact rule the oracle uses.
+    """
+    from sparkforward.postings import decode_blocked_posting_list
+
+    docs_l, scores_l = [], []
+    for _, row in term_rows.iterrows():
+        d, tf, dl = decode_blocked_posting_list(row, block_size)
+        tf64 = tf.astype(np.float64)
+        s = float(row["idf"]) * (tf64 * (K1 + 1.0)) / (
+            tf64 + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
+        )
+        docs_l.append(d)
+        scores_l.append(s)
+    if not docs_l:
+        return []
+    docs = np.concatenate(docs_l)
+    scores = np.concatenate(scores_l)
+    order = np.argsort(docs, kind="stable")
+    d2, s2 = docs[order], scores[order]
+    uniq, idx = np.unique(d2, return_index=True)
+    sums = np.round(np.add.reduceat(s2, idx), SCORE_DECIMALS)
+    sel = np.lexsort((uniq, -sums))[: int(k)]
+    return [(int(uniq[i]), float(sums[i])) for i in sel]
+
+
 def wand_topk(
     index: PostingIndex, queries: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -262,7 +301,10 @@ def wand_topk(
 
     def serve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (q_id,) = key
-        hits = wand_query(pdf, kk, avgdl, block_size)
+        kernel = (
+            taat_query if int(pdf["n"].sum()) <= TAAT_MAX_POSTINGS else wand_query
+        )
+        hits = kernel(pdf, kk, avgdl, block_size)
         return pd.DataFrame(
             {
                 "q_id": [q_id] * len(hits),

@@ -151,3 +151,29 @@ def test_manifest_carries_lineage_and_metrics(spark, docs, tmp_path):
     assert m["status"] == "committed"
     assert "n_docs" in m["lineage"] and "avgdl" in m["lineage"]
     assert m["metrics"]["bytes"] > 0
+
+
+def test_taat_equals_wand_kernel():
+    """Both serving kernels must produce identical top-k on the same shards."""
+    import pandas as pd
+
+    from sparkforward.wand import taat_query, wand_query
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for t, idf_v in (("alpha", 1.4), ("beta", 0.7), ("gamma", 2.1)):
+        nsh = 3 if t == "alpha" else 1  # salted + unsalted terms mixed
+        for s in range(nsh):
+            ids = np.sort(rng.choice(50_000, size=4_000, replace=False))
+            sel = ids % nsh == s if nsh > 1 else slice(None)
+            d = ids[sel] if nsh > 1 else ids
+            enc = encode_posting_list(
+                d, rng.integers(1, 20, size=len(d)),
+                rng.integers(20, 121, size=len(d)), avgdl=70.0, block_size=64,
+            )
+            rows.append({**enc, "term": t, "salt": s, "idf": idf_v})
+    pdf = pd.DataFrame(rows)
+    for k in (1, 10, 100):
+        a = taat_query(pdf, k, 70.0, 64)
+        b = wand_query(pdf, k, 70.0, 64)
+        assert a == b, f"k={k}: {a[:3]} vs {b[:3]}"
