@@ -262,8 +262,6 @@ def early_stopping_scores(
         chunk = ranked.filter((F.col("rank") > a) & (F.col("rank") <= b))
         if surviving is not None:
             chunk = chunk.filter(F.col("q_id").isin(surviving))
-        if chunk.limit(1).count() == 0:
-            break
         ff = compute_scores(chunk, index, qvec_df, mode=mode, check_missing=False)
         chunk_scores = (
             chunk.join(ff, ["q_id", "id"])
@@ -272,12 +270,16 @@ def early_stopping_scores(
                 alpha * F.col("score") + (1.0 - alpha) * F.col("ff_score"),
             )
         )
+        # one job materializes the slice; the emptiness check reads the
+        # checkpointed result instead of running a separate probe job
+        chunk_scores = chunk_scores.localCheckpoint(eager=True)
+        if chunk_scores.count() == 0:
+            break
         accumulated = (
             chunk_scores
             if accumulated is None
             else accumulated.unionByName(chunk_scores)
         )
-        accumulated = accumulated.localCheckpoint(eager=True)
         a = b
 
     if accumulated is None:

@@ -177,3 +177,41 @@ def test_taat_equals_wand_kernel():
         a = taat_query(pdf, k, 70.0, 64)
         b = wand_query(pdf, k, 70.0, 64)
         assert a == b, f"k={k}: {a[:3]} vs {b[:3]}"
+
+
+def test_varbyte_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+    def roundtrip(values):
+        arr = np.asarray(values, dtype=np.uint64).astype(np.int64)
+        assert varbyte_decode(varbyte_encode(arr)).tolist() == [
+            int(v) for v in arr
+        ]
+
+    roundtrip()
+
+
+def test_blocked_posting_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**12),
+            min_size=1, max_size=400, unique=True,
+        ),
+        st.sampled_from([4, 7, 128]),
+    )
+    def roundtrip(doc_ids, block_size):
+        d = np.sort(np.asarray(doc_ids, dtype=np.int64))
+        tf = np.full(len(d), 2, dtype=np.int64)
+        dl = np.full(len(d), 50, dtype=np.int64)
+        enc = encode_posting_list(d, tf, dl, avgdl=70.0, block_size=block_size)
+        d2, tf2, dl2 = decode_blocked_posting_list(enc, block_size)
+        assert (d2 == d).all() and (tf2 == tf).all() and (dl2 == dl).all()
+
+    roundtrip()
