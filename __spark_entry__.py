@@ -16,21 +16,60 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# local-mode python workers inherit the driver env, not the driver's
+# sys.path — make the package importable on executors regardless of cwd
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def _ensure_pkg_on_executors(spark: SparkSession) -> None:
+    """Ship sparkforward to executors (addPyFile zip) — covers sessions that
+    were created before this module set PYTHONPATH, and any non-local master."""
+    import zipfile
+
+    marker = "_sparkforward_shipped"
+    sc = spark.sparkContext
+    if getattr(sc, marker, False):
+        return
+    zip_path = os.path.join("/tmp", "sparkforward_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(_REPO, "sparkforward")
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+    setattr(sc, marker, True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from sparkforward import queries as q
 
+    _ensure_pkg_on_executors(spark)
     return q.q_interpolate_rerank(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg_on_executors(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from sparkforward import queries as q
 
-    return {
+    return {k: _wrap(v) for k, v in {
         # native inverted-index / BM25 first stage (SURVEY §2.8, north rule)
         "bm25_topk": q.q_bm25_topk,
         "bm25_wand_topk": q.q_bm25_wand_topk,
@@ -59,7 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative operators (rows-only driver check; golden-tested in pytest)
         "early_stopping": q.q_early_stopping,
         "coalesce": q.q_coalesce,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
