@@ -40,6 +40,9 @@ from sparkforward.bm25 import B, K1, SCORE_DECIMALS
 from sparkforward.postings import PostingIndex, varbyte_decode
 from sparkforward.tokenize import query_terms
 
+#: sentinel "no more docs in this shard" for shallow_bound's block-last slot
+_NO_DOC = 2**62
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("q_id", T.StringType()),
@@ -122,11 +125,6 @@ class _ShardCursor:
         self._decode_block(self.block_idx)
         return float(self._scores[self.in_block])
 
-    def current_block_max(self) -> float:
-        if self.exhausted():
-            return 0.0
-        return float(self.block_max[self.block_idx])
-
     def advance(self) -> None:
         self.in_block += 1
         block_len = self._block_len(self.block_idx)
@@ -138,6 +136,29 @@ class _ShardCursor:
         if b == self.n_blocks - 1:
             return self.n - b * self.block_size
         return self.block_size
+
+    def shallow_bound(self, target: int) -> tuple[float, int]:
+        """(block max, block last doc) of the block that would contain
+        ``target`` — a *shallow* advance: metadata only, NO decode, cursor
+        position unchanged.
+
+        This is the sound block-max refinement bound for a pivot document:
+        the cursor's CURRENT block may end before the pivot
+        (``block_last < target``), in which case its maximum says nothing
+        about the pivot's block. Any occurrence of a doc in
+        ``[target, returned block_last]`` lies in exactly the returned
+        block, so its max is an exact upper bound for this shard's
+        contribution to any such doc. Returns ``(0.0, +inf-sentinel)`` when
+        the shard has no postings at or after ``target``.
+        """
+        if self.exhausted():
+            return 0.0, _NO_DOC
+        b = self.block_idx + int(
+            np.searchsorted(self.block_last[self.block_idx :], target, side="left")
+        )
+        if b >= self.n_blocks:
+            return 0.0, _NO_DOC
+        return float(self.block_max[b]), int(self.block_last[b])
 
     def seek(self, target: int) -> None:
         """First posting with doc >= target. Blocks whose last doc is below
@@ -205,11 +226,29 @@ def wand_query(
         end = pivot_idx
         while end + 1 < len(live) and live[end + 1].current() == pivot_doc:
             end += 1
-        # block-max refinement over the prefix's current blocks
-        block_ub = sum(c.current_block_max() for c in live[: end + 1])
+        # Block-max refinement with SHALLOW-ADVANCED blocks: each prefix
+        # cursor contributes the max of the block that would contain the
+        # pivot (its current block may end before the pivot, whose max would
+        # underestimate the true bound — the unsoundness fixed in round 2).
+        prefix = live[: end + 1]
+        block_ub = 0.0
+        cover_last = _NO_DOC  # bound stays valid for all docs <= cover_last
+        for c in prefix:
+            bm, bl = c.shallow_bound(pivot_doc)
+            block_ub += bm
+            if bl < cover_last:
+                cover_last = bl
         if block_ub <= threshold - eps:
-            mover = max(live[: end + 1], key=lambda c: c.max_score)
-            mover.seek(pivot_doc + 1)
+            # BMW skip: every doc in [pivot_doc, d_next-1] is bounded by
+            # block_ub (prefix shallow blocks cover through cover_last, and
+            # no cursor beyond the prefix holds a doc before its current),
+            # so jump the whole prefix past that range in one seek each.
+            d_next = max(pivot_doc, cover_last) + 1
+            if end + 1 < len(live):
+                d_next = min(d_next, max(pivot_doc + 1, live[end + 1].current()))
+            for c in prefix:
+                if not c.exhausted() and c.current() < d_next:
+                    c.seek(d_next)
             continue
         if live[0].current() == pivot_doc:
             # aligned: fully score the pivot document

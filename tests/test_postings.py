@@ -215,3 +215,67 @@ def test_blocked_posting_property_roundtrip():
         assert (d2 == d).all() and (tf2 == tf).all() and (dl2 == dl).all()
 
     roundtrip()
+
+
+def test_wand_kernel_fuzz_vs_taat():
+    """Seeded multi-trial stress of the block-max WAND branch (small blocks,
+    overlapping lists) — round-2 regression test for the shallow-advance
+    bound: the old refinement summed each prefix cursor's CURRENT block max,
+    underestimating pivots that lie in later blocks and silently dropping
+    true top-k docs (~0.4% of random multi-block queries)."""
+    from sparkforward.wand import taat_query, wand_query
+
+    # generic random trials
+    for trial in range(100):
+        rng = np.random.default_rng(1000 + trial)
+        n_terms = int(rng.integers(2, 6))
+        block = int(rng.choice([4, 8, 16]))
+        rows = []
+        for t in range(n_terms):
+            size = int(rng.integers(30, 400))
+            ids = np.sort(rng.choice(2_000, size=size, replace=False))
+            enc = encode_posting_list(
+                ids,
+                rng.integers(1, 20, size=size),
+                rng.integers(20, 121, size=size),
+                avgdl=70.0,
+                block_size=block,
+            )
+            rows.append({**enc, "term": f"t{t}", "salt": 0,
+                         "idf": float(rng.uniform(0.3, 2.5))})
+        pdf = pd.DataFrame(rows)
+        k = int(rng.choice([3, 10]))
+        a = taat_query(pdf, k, 70.0, block)
+        b = wand_query(pdf, k, 70.0, block)
+        assert a == b, f"trial={trial} k={k}: {a[:5]} vs {b[:5]}"
+
+    # adversarial trials: one sparse high-idf driver term whose docs carry
+    # tf spikes in the dense lists — pivots land far beyond the dense
+    # cursors' current blocks, in much-hotter blocks. The pre-fix bound
+    # returned the wrong top-k on 99/100 of these.
+    for trial in range(60):
+        rng = np.random.default_rng(9000 + trial)
+        block = 4
+        universe = 50_000
+        D = np.sort(rng.choice(universe, size=30, replace=False))
+        rows = []
+        enc = encode_posting_list(
+            D, rng.integers(3, 20, size=len(D)),
+            rng.integers(20, 121, size=len(D)), avgdl=70.0, block_size=block,
+        )
+        rows.append({**enc, "term": "rare", "salt": 0, "idf": 3.0})
+        for t in range(3):
+            other = np.sort(rng.choice(
+                np.setdiff1d(np.arange(universe), D), size=3000, replace=False))
+            ids = np.sort(np.concatenate([D, other]))
+            tf = np.where(np.isin(ids, D), rng.integers(25, 60, size=len(ids)), 1)
+            enc = encode_posting_list(
+                ids, tf, rng.integers(20, 121, size=len(ids)),
+                avgdl=70.0, block_size=block,
+            )
+            rows.append({**enc, "term": f"t{t}", "salt": 0,
+                         "idf": float(rng.uniform(0.4, 1.2))})
+        pdf = pd.DataFrame(rows)
+        a = taat_query(pdf, 10, 70.0, block)
+        b = wand_query(pdf, 10, 70.0, block)
+        assert a == b, f"adversarial trial={trial}: {a[:5]} vs {b[:5]}"
