@@ -12,10 +12,13 @@ This is the native first-stage engine the reference borrows from PyTerrier
   ~|partitions| x |vocab| compressed blobs (1-2 bytes/posting) instead of a
   30-byte row per posting, then k-way-merges each term's shards
   (NumPy-vectorized — no per-row Python). Head terms (df above a threshold)
-  are *salted* by ``part_id % n_shards(term)`` with **adaptive** shard
-  counts (bounded postings per reducer) so a single Zipf-head reducer never
-  receives the whole corpus; shards re-merge at serve time. AQE alone
-  cannot fix a skewed groupBy — the salt can.
+  are *salted* by ``doc_id % n_shards(term)`` with **adaptive**
+  power-of-two shard counts (bounded postings per reducer), split map-side
+  from the partial blobs, so a single Zipf-head reducer never receives the
+  whole corpus. AQE alone cannot fix a skewed groupBy — the salt can. Doc-
+  modulo (rather than input-partition-modulo) shards are doc-DISJOINT and
+  nest across terms, so serving traverses a query's shards in parallel
+  (wand.wand_topk) instead of re-gathering them into one task.
 * Posting entries carry ``(delta(doc_id), tf, dl)``; per 128-entry block we
   store the **exact BM25 upper bound** (idf and avgdl are known at build
   time), so WAND pruning is lossless: final scores are recomputed from raw
@@ -116,7 +119,12 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
 POSTING_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
+        # doc-modulo shard id: this row holds exactly the term's postings
+        # with doc_id % n_shards == salt. Doc-disjoint across salts, and the
+        # modulus is a power of two so shards of different terms nest — the
+        # property partition-parallel WAND serving relies on (wand.py).
         T.StructField("salt", T.IntegerType()),
+        T.StructField("n_shards", T.IntegerType()),
         T.StructField("n", T.LongType()),
         T.StructField("doc_blob", T.BinaryType()),
         T.StructField("tf_blob", T.BinaryType()),
@@ -347,6 +355,7 @@ def build_inverted_index(
     num_partitions: int | None = None,
     n_buckets: int | None = None,
     resume: bool = False,
+    target_shard_postings: int = TARGET_SHARD_POSTINGS,
 ) -> PostingIndex:
     """Corpus DataFrame -> on-disk posting index. Doc ids must be integral.
 
@@ -379,6 +388,7 @@ def build_inverted_index(
         n_docs=float(g["n_docs"]), avgdl=float(g["avgdl"]),
         salt_threshold=salt_threshold, n_salt=n_salt, block_size=block_size,
         num_partitions=num_partitions, n_buckets=n_buckets, resume=resume,
+        target_shard_postings=target_shard_postings,
     )
     raw_partials.unpersist()
     return index
@@ -396,6 +406,7 @@ def merge_partials(
     num_partitions: int | None = None,
     n_buckets: int | None = None,
     resume: bool = False,
+    target_shard_postings: int = TARGET_SHARD_POSTINGS,
 ) -> PostingIndex:
     """Stage 2: salted shard merge + block-max metadata + resumable write.
 
@@ -414,24 +425,75 @@ def merge_partials(
         ),
     )
 
-    # adaptive salt per head term (tiny driver map, inlined as a literal)
+    # Adaptive shard count per head term (tiny driver map, shipped in the
+    # splitter closure). Shard = doc_id % n_shards with n_shards a POWER OF
+    # TWO: doc shards of different terms then nest (m | m'), which lets
+    # serving traverse doc-disjoint ranges of a whole query in parallel
+    # (wand.wand_topk) — a doc lives in the same residue class for every
+    # term. The per-shard size bound df/n_shards <= TARGET_SHARD_POSTINGS
+    # protects the merge shuffle exactly like part_id salting did.
+    def _pow2_ceil(x: int) -> int:
+        return 1 << max(x - 1, 1).bit_length()
+
+    n_salt_p2 = 1 << max(int(n_salt), 1).bit_length() - 1
     head = {
         r["term"]: min(
-            int(n_salt),
-            max(2, -(-int(r["df"]) // TARGET_SHARD_POSTINGS)),
+            n_salt_p2,
+            max(2, _pow2_ceil(-(-int(r["df"]) // int(target_shard_postings)))),
         )
         for r in df_stats.filter(F.col("df") > int(salt_threshold)).collect()
     }
-    if head:
-        salt_map = F.create_map(
-            *[F.lit(x) for kv in head.items() for x in kv]
-        )
-        salt_expr = F.coalesce(
-            F.pmod(F.col("part_id"), salt_map[F.col("term")]), F.lit(0)
-        ).cast("int")
-    else:
-        salt_expr = F.lit(0).cast("int")
-    salted = partials.withColumn("salt", salt_expr)
+
+    def split_by_doc_shard(it):
+        """Map-side re-shard of head-term partial blobs by doc residue.
+
+        Tail terms pass through (salt 0). Head terms decode their (term,
+        input-partition) blob once and re-emit one sub-blob per present doc
+        residue — linear work, embarrassingly parallel, and the follow-up
+        groupBy(term, salt) then receives df/n_shards-bounded groups."""
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                m = head.get(row.term, 1)
+                if m == 1:
+                    out.append(
+                        (row.term, 0, row.n, row.doc_blob, row.tf_blob, row.dl_blob)
+                    )
+                    continue
+                d = np.cumsum(varbyte_decode(bytes(row.doc_blob)))
+                tf_a = varbyte_decode(bytes(row.tf_blob))
+                dl_a = varbyte_decode(bytes(row.dl_blob))
+                res = d % m
+                for s in np.unique(res):
+                    sel = res == s
+                    ds = d[sel]
+                    out.append(
+                        (
+                            row.term,
+                            int(s),
+                            int(sel.sum()),
+                            varbyte_encode(np.diff(ds, prepend=np.int64(0))),
+                            varbyte_encode(tf_a[sel]),
+                            varbyte_encode(dl_a[sel]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["term", "salt", "n", "doc_blob", "tf_blob", "dl_blob"]
+            )
+
+    split_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("salt", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("doc_blob", T.BinaryType()),
+            T.StructField("tf_blob", T.BinaryType()),
+            T.StructField("dl_blob", T.BinaryType()),
+        ]
+    )
+    salted = partials.select(
+        "term", "part_id", "n", "doc_blob", "tf_blob", "dl_blob"
+    ).mapInPandas(split_by_doc_shard, schema=split_schema)
     if num_partitions:
         salted = salted.repartition(num_partitions, "term", "salt")
 
@@ -450,7 +512,9 @@ def merge_partials(
             np.concatenate(ds), np.concatenate(tfs), np.concatenate(dls),
             avgdl, block_size,
         )
-        return pd.DataFrame([{"term": term, "salt": int(salt), **enc}])
+        return pd.DataFrame(
+            [{"term": term, "salt": int(salt), "n_shards": head.get(term, 1), **enc}]
+        )
 
     postings = salted.groupBy("term", "salt").applyInPandas(
         merge_groups, schema=POSTING_SCHEMA
@@ -478,6 +542,15 @@ def merge_partials(
         extra={"n_docs": n_docs, "avgdl": avgdl},
     )
 
+    # per-term shard count rides in the term dictionary: serving derives a
+    # query's parallelism as max(n_shards) over ITS terms (wand.wand_topk)
+    if head:
+        nsh_map = F.create_map(*[F.lit(x) for kv in head.items() for x in kv])
+        terms = terms.withColumn(
+            "n_shards", F.coalesce(nsh_map[F.col("term")], F.lit(1)).cast("int")
+        )
+    else:
+        terms = terms.withColumn("n_shards", F.lit(1).cast("int"))
     terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
     stats = {
         "n_docs": n_docs,

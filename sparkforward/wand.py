@@ -9,10 +9,11 @@ produces the top-k.
 
 Two properties make this the 10^12-doc shape:
 
-* **Salt shards are first-class cursors.** A term's salted shards enter the
-  WAND live list as independent cursors (a doc lives in exactly one shard
-  per term, so scores never double-count; the upper bound over-counts
-  across shards of one term, which only weakens pruning, never correctness).
+* **Serving is doc-disjoint parallel.** Terms are stored in power-of-two
+  doc-modulo shards (postings.py); a query fans out as one task per serve
+  shard, each traversing only docs of its residue class, and the per-shard
+  top-k merge is exact because shards are doc-disjoint. One hot query uses
+  the whole cluster instead of one Python worker.
 * **Blocks decode lazily.** Blobs are block-addressable (per-block byte
   offsets; doc deltas restart per block — postings.encode_posting_list), so
   ``seek`` jumps via binary search over ``block_last_doc`` and only the
@@ -32,7 +33,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -187,13 +188,23 @@ class _ShardCursor:
 
 
 def wand_query(
-    term_rows: pd.DataFrame, k: int, avgdl: float, block_size: int
+    term_rows: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    block_size: int,
+    modulus: int = 1,
+    residue: int = 0,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one query's shard rows -> [(doc_id, score)].
 
     Returns the exact top-k by (rounded score desc, doc_id asc); ``score``
     is the float64 BM25 sum over the query's matching terms, rounded to
     SCORE_DECIMALS — identical to the exhaustive scorer's ranking rule.
+
+    ``modulus``/``residue`` restrict the traversal to docs with
+    ``doc_id % modulus == residue`` — the doc-disjoint serve-shard filter
+    (terms stored at a coarser shard count than the query's parallelism
+    still contain foreign residues; those are skipped without scoring).
     """
     cursors = [
         _ShardCursor(row, avgdl, block_size) for _, row in term_rows.iterrows()
@@ -251,6 +262,14 @@ def wand_query(
                     c.seek(d_next)
             continue
         if live[0].current() == pivot_doc:
+            if modulus > 1 and pivot_doc % modulus != residue:
+                # foreign serve-shard residue: step over without scoring
+                for c in live:
+                    if c.current() == pivot_doc:
+                        c.advance()
+                    elif c.current() > pivot_doc:
+                        break
+                continue
             # aligned: fully score the pivot document
             score = 0.0
             for c in live:
@@ -283,13 +302,19 @@ TAAT_MAX_POSTINGS = 4_000_000
 
 
 def taat_query(
-    term_rows: pd.DataFrame, k: int, avgdl: float, block_size: int
+    term_rows: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    block_size: int,
+    modulus: int = 1,
+    residue: int = 0,
 ) -> list[tuple[int, float]]:
     """Term-at-a-time exhaustive scoring, fully NumPy-vectorized.
 
     Decodes every shard, accumulates per-doc sums with
     ``np.add.reduceat`` over the doc-sorted concatenation, ranks by
     (rounded score desc, doc asc) — the exact rule the oracle uses.
+    ``modulus``/``residue``: serve-shard residue filter (see wand_query).
     """
     from sparkforward.postings import decode_blocked_posting_list
 
@@ -306,6 +331,11 @@ def taat_query(
         return []
     docs = np.concatenate(docs_l)
     scores = np.concatenate(scores_l)
+    if modulus > 1:
+        keep = (docs % modulus) == residue
+        docs, scores = docs[keep], scores[keep]
+        if len(docs) == 0:
+            return []
     order = np.argsort(docs, kind="stable")
     d2, s2 = docs[order], scores[order]
     uniq, idx = np.unique(d2, return_index=True)
@@ -314,13 +344,39 @@ def taat_query(
     return [(int(uniq[i]), float(sums[i])) for i in sel]
 
 
-def wand_topk(
-    index: PostingIndex, queries: DataFrame, k: int = 10
-) -> DataFrame:
-    """(q_id, id, rank, score) — distributed top-k serving.
+_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("q_id", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
 
-    One ``applyInPandas`` group per query; postings pruned to query terms
-    before any decode via a pushed-down In-filter on the term-sorted scan.
+
+def wand_topk(
+    index: PostingIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_serve_shards: int | None = None,
+) -> DataFrame:
+    """(q_id, id, rank, score) — doc-disjoint partition-parallel serving.
+
+    Postings are pruned to query terms before any decode via a pushed-down
+    In-filter on the term-sorted scan. A query is then served as
+    ``q_n_serve`` independent (q_id, serve_shard) tasks, where
+    ``q_n_serve`` = max(n_shards) over ITS terms (the per-term doc-modulo
+    shard counts assigned at build, powers of two — postings.py): serve
+    shard ``s`` traverses exactly the docs with ``doc_id % q_n_serve == s``.
+    A term stored at a coarser modulus ``m < q_n_serve`` contributes its
+    row ``salt = s % m`` to shard ``s`` (residues nest because both are
+    powers of two); foreign docs inside that row are skipped by the kernel
+    residue filter. Per-shard top-k merge via one window — doc-disjoint
+    shards make the union's global top-k exact, so a Zipf-head query no
+    longer lands in a single Python task.
+
+    ``n_serve_shards`` forces AT LEAST that many shards per query (rounded
+    up to a power of two) — lower latency for hot queries at the cost of
+    replicating coarse-sharded term rows across tasks.
     """
     avgdl = float(index.stats["avgdl"])
     block_size = int(index.stats.get("block_size", 128))
@@ -332,25 +388,63 @@ def wand_topk(
     # min/max pruning on the term-sorted postings skips everything else
     # (a broadcast join alone would still read every row group).
     term_list = [r["term"] for r in qt.select("term").distinct().collect()]
+    tmeta = index.terms
+    if "n_shards" not in tmeta.columns:  # pre-round-2 index layout
+        tmeta = tmeta.withColumn("n_shards", F.lit(1))
+    postings = index.postings
+    if "n_shards" not in postings.columns:
+        postings = postings.withColumn("n_shards", F.lit(1))
+
+    qpar = (
+        qt.join(tmeta.select("term", "n_shards"), "term")
+        .groupBy("q_id")
+        .agg(F.max("n_shards").alias("q_n_serve"))
+    )
+    if n_serve_shards and int(n_serve_shards) > 1:
+        forced = 1 << (int(n_serve_shards) - 1).bit_length()  # next pow2 >= n
+        qpar = qpar.withColumn(
+            "q_n_serve", F.greatest(F.col("q_n_serve"), F.lit(int(forced)))
+        )
+
     gathered = (
-        index.postings.filter(F.col("term").isin(term_list))
+        postings.filter(F.col("term").isin(term_list))
         .join(F.broadcast(qt), "term")
-        .join(F.broadcast(index.terms.select("term", "idf")), "term")
+        .join(F.broadcast(tmeta.select("term", "idf")), "term")
+        .join(F.broadcast(qpar), "q_id")
+    )
+    # a row with shard modulus m serves shards {salt, salt+m, ...} < q_n_serve
+    sharded = gathered.withColumn(
+        "serve_shard",
+        F.explode(
+            F.sequence(F.col("salt"), F.col("q_n_serve") - 1, F.col("n_shards"))
+        ),
     )
 
     def serve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (q_id,) = key
+        q_id, shard = key
+        modulus = int(pdf["q_n_serve"].iloc[0])
         kernel = (
             taat_query if int(pdf["n"].sum()) <= TAAT_MAX_POSTINGS else wand_query
         )
-        hits = kernel(pdf, kk, avgdl, block_size)
+        hits = kernel(pdf, kk, avgdl, block_size, modulus, int(shard))
         return pd.DataFrame(
             {
                 "q_id": [q_id] * len(hits),
                 "id": [str(d) for d, _ in hits],
-                "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
                 "score": [s for _, s in hits],
             }
         )
 
-    return gathered.groupBy("q_id").applyInPandas(serve, schema=RESULT_SCHEMA)
+    per_shard = sharded.groupBy("q_id", "serve_shard").applyInPandas(
+        serve, schema=_SHARD_SCHEMA
+    )
+    # global top-k over doc-disjoint shard winners (exact: every global
+    # top-k doc ranks <= k inside its own shard)
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc(F.col("id").cast("bigint")), F.asc("id")
+    )
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= kk)
+        .select("q_id", "id", "rank", "score")
+    )

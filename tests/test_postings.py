@@ -279,3 +279,34 @@ def test_wand_kernel_fuzz_vs_taat():
         a = taat_query(pdf, 10, 70.0, block)
         b = wand_query(pdf, 10, 70.0, block)
         assert a == b, f"adversarial trial={trial}: {a[:5]} vs {b[:5]}"
+
+
+def test_doc_sharded_parallel_serving(spark, docs, tmp_path):
+    """Doc-modulo shards serve a query as independent doc-disjoint tasks:
+    rankings must be identical at every forced parallelism level, and head
+    terms must actually be stored at >= 4 shards (round-2 scale fix: one
+    hot query no longer gathers every shard into a single Python task)."""
+    from pyspark.sql import functions as F
+
+    docs8 = docs.repartition(8)
+    index = build_inverted_index(
+        docs8, str(tmp_path / "p"), salt_threshold=20, n_salt=8, num_partitions=8,
+        target_shard_postings=50,
+    )
+    meta = index.terms.filter(F.col("n_shards") >= 4).count()
+    assert meta > 0, "no head term got >= 4 doc shards"
+    # shard rows are doc-disjoint residues: salt < n_shards, one row each
+    rows = index.postings.select("term", "salt", "n_shards").toPandas()
+    assert (rows["salt"] < rows["n_shards"]).all()
+    assert not rows.duplicated(["term", "salt"]).any()
+
+    base = _serve(spark, index)
+    qdf = spark.createDataFrame(QUERIES, "q_id string, query string")
+    for forced in (4, 8):
+        served = (
+            wand_topk(index, qdf, k=10, n_serve_shards=forced)
+            .toPandas()
+            .sort_values(["q_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(base, served)
