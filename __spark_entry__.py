@@ -125,5 +125,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),
         "lang_id": q.sql_lang_id(),
-        # early_stopping / coalesce: intentionally omitted (iterative ops)
+        # iterative operators: finite depth schedule / closed-form fixture
+        # shape make them SQL-expressible after all (round-2)
+        "early_stopping": q.sql_early_stopping(),
+        "coalesce": q.sql_coalesce(),
     }

@@ -80,6 +80,40 @@ def score_terms(
     )
 
 
+#: session-scoped tokenize-pass cache: (session id, corpus plan hash, cols)
+#: -> persisted tf DataFrame. Two purposes: (a) within one query, tf feeds
+#: three subtrees (scores, df-stats, N/avgdl) and Catalyst does NOT dedupe
+#: identical subplans — persist gives one tokenize pass, not three (verified
+#: via .explain); (b) across queries over the same corpus, reusing the one
+#: persisted DF instead of re-persisting an identical plan avoids both a
+#: redundant corpus scan and the CacheManager "already cached" leak the
+#: round-1 audit flagged (bm25.py:97). Release with :func:`release_caches`.
+_TF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _tf_persisted(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    try:
+        key = (id(docs.sparkSession), docs.semanticHash(), id_col, text_col)
+    except Exception:  # noqa: BLE001 — hashing unsupported: fall back, uncached
+        key = None
+    if key is not None and key in _TF_CACHE:
+        return _TF_CACHE[key]
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
+    if key is not None:
+        _TF_CACHE[key] = tf
+    return tf
+
+
+def release_caches() -> None:
+    """Unpersist every cached tokenize pass (long-lived session hygiene)."""
+    for df in _TF_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    _TF_CACHE.clear()
+
+
 def bm25_scores(
     docs: DataFrame,
     queries: DataFrame,
@@ -91,10 +125,7 @@ def bm25_scores(
     Summation per (q, d) uses float64; determinism across partitionings is
     guaranteed at SCORE_DECIMALS granularity (see module docstring).
     """
-    # tf feeds three subtrees (scores, df-stats, N/avgdl); Catalyst does not
-    # dedupe identical subplans, so persist it — one tokenize pass, not three
-    # (verified via .explain: 3x MapInPandas+Scan without this)
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
+    tf = _tf_persisted(docs, id_col, text_col)
     df_stats, global_stats = corpus_stats(tf)
     qt = query_terms(queries)
     contribs = score_terms(tf, df_stats, global_stats, qt)

@@ -447,10 +447,12 @@ def merge_partials(
     def split_by_doc_shard(it):
         """Map-side re-shard of head-term partial blobs by doc residue.
 
-        Tail terms pass through (salt 0). Head terms decode their (term,
-        input-partition) blob once and re-emit one sub-blob per present doc
-        residue — linear work, embarrassingly parallel, and the follow-up
-        groupBy(term, salt) then receives df/n_shards-bounded groups."""
+        Only head-term rows are routed here (tail terms take a pure-JVM
+        bypass below — no Python in the common path). Each (term,
+        input-partition) blob decodes once and re-emits one sub-blob per
+        present doc residue — linear work, embarrassingly parallel, and the
+        follow-up groupBy(term, salt) then receives df/n_shards-bounded
+        groups."""
         for pdf in it:
             out = []
             for row in pdf.itertuples(index=False):
@@ -491,9 +493,22 @@ def merge_partials(
             T.StructField("dl_blob", T.BinaryType()),
         ]
     )
-    salted = partials.select(
-        "term", "part_id", "n", "doc_blob", "tf_blob", "dl_blob"
-    ).mapInPandas(split_by_doc_shard, schema=split_schema)
+    core = partials.select("term", "n", "doc_blob", "tf_blob", "dl_blob")
+    if head:
+        head_terms = list(head)
+        tail = core.filter(~F.col("term").isin(head_terms)).select(
+            "term", F.lit(0).cast("int").alias("salt"),
+            "n", "doc_blob", "tf_blob", "dl_blob",
+        )
+        split = core.filter(F.col("term").isin(head_terms)).mapInPandas(
+            split_by_doc_shard, schema=split_schema
+        )
+        salted = tail.unionByName(split)
+    else:
+        salted = core.select(
+            "term", F.lit(0).cast("int").alias("salt"),
+            "n", "doc_blob", "tf_blob", "dl_blob",
+        )
     if num_partitions:
         salted = salted.repartition(num_partitions, "term", "salt")
 

@@ -52,6 +52,7 @@ ALPHA = 0.2      # interpolation weight on the sparse score (docs/pyterrier.md:1
 K_CAND = 100     # first-stage candidate depth
 K_FINAL = 10     # final top-k
 RRF_K = 60       # reciprocal-rank constant (ranking.py:328-346)
+ES_DEPTHS = (25, K_CAND)  # early-stopping depth schedule (serving config)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,18 +120,45 @@ def _bm25_ctes(subset: list[str] | None = None) -> str:
 
 
 # ------------------------------------------------- Spark building blocks #
+#: first-stage run cache: (session id, sf_dir) -> persisted BM25 ranking.
+#: One sparse first stage feeds every re-ranking strategy (cut, normalize,
+#: interpolate, RRF, early stopping) — exactly how a serving stack shares a
+#: retrieval run — so the engine materializes it once per corpus+session
+#: instead of re-deriving it per downstream operator.
+_RANKED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def release_caches() -> None:
+    """Unpersist cached first-stage runs (+ the tokenize-pass cache)."""
+    from sparkforward import bm25
+
+    for df in _RANKED_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    _RANKED_CACHE.clear()
+    bm25.release_caches()
+
+
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, doc_id:bigint, score:double rounded, rank) — full BM25 ranking."""
+    key = (id(spark), sf_dir)
+    hit = _RANKED_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_documents(spark, sf_dir)
     scores = bm25_scores(docs, queries_df(spark))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc(F.col("doc_id").cast("bigint"))
     )
-    return (
+    out = (
         scores.withColumn("score", F.round("score", SCORE_DECIMALS))
         .withColumn("doc_id", F.col("doc_id").cast("bigint"))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
-    )
+    ).persist()
+    _RANKED_CACHE[key] = out
+    return out
 
 
 def _dense_scores(
@@ -630,10 +658,14 @@ def sql_lang_id() -> str:
     return LANG_ID_SQL
 
 
-# -------------------------------------------- non-SQL-expressible checks #
+# ---------------------------------------- iterative operators + oracles #
 def q_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Early-stopping re-rank (iterative driver loop — rows-only check;
-    exact semantics pinned by tests/test_early_stopping.py)."""
+    """Early-stopping re-rank. The iterations are data-dependent but the
+    depth schedule is finite, so the DuckDB oracle (sql_early_stopping)
+    unrolls them: chunk -> criterion -> surviving -> chunk. Scores are
+    rounded (decimals=SCORE_DECIMALS) before every pruning comparison on
+    BOTH engines, making the row set bit-reproducible. Exact reference
+    semantics additionally pinned by tests/test_early_stopping.py."""
     from sparkforward.index import Mode, VectorIndex
     from sparkforward.ranking import Ranking
     from sparkforward.score import early_stopping_scores
@@ -658,11 +690,62 @@ def q_early_stopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out = early_stopping_scores(
         ranking, index, cutoff=K_FINAL, alpha=ALPHA,
-        depths=(10, 25, 50, K_CAND), query_vectors=emb_q, mode=Mode.MAXP,
+        depths=ES_DEPTHS, query_vectors=emb_q, mode=Mode.MAXP,
+        decimals=SCORE_DECIMALS,
     )
     return out.df.select(
         "q_id", "id", F.round(F.col("score").cast("double"), SCORE_DECIMALS).alias("score")
     )
+
+
+def sql_early_stopping() -> str:
+    """Unrolled early-stopping iterations for depths ES_DEPTHS=(25, 100).
+
+    Mirrors score._early_stopping_driver exactly: per depth, score the rank
+    slice for surviving queries (ff = round(dot, 4) — the 1:1 vec fixture
+    makes MAXP a plain dot), interpolate (rounded), then keep queries whose
+    10th-best interpolated score is below round(alpha*min_sparse +
+    (1-alpha)*max_ff, 4). Output = every scored row, score = ff as float32
+    round-trip (the engine returns FloatType; re-rounding at 4 decimals
+    makes both representations identical).
+    """
+    d1, d2 = ES_DEPTHS
+    a, b = ALPHA, 1.0 - ALPHA
+    return f"""
+WITH {_bm25_ctes()},
+qvec(q_id, qvec_id) AS (VALUES {_values_qvec(QVEC_ID)}),
+qv AS (SELECT q_id, embedding::DOUBLE[] AS q_vector FROM qvec JOIN embeddings ON qvec_id = vec_id),
+s1 AS (
+  SELECT c.q_id, c.doc_id, c.score,
+         round(list_dot_product(qv.q_vector, e.embedding::DOUBLE[]), {SCORE_DECIMALS}) AS ff
+  FROM (SELECT q_id, doc_id, score FROM bm25_ranked WHERE rank <= {d1}) c
+  JOIN embeddings e ON c.doc_id = e.vec_id JOIN qv ON qv.q_id = c.q_id
+),
+i1 AS (SELECT *, round({a}*score + {b}*ff, {SCORE_DECIMALS}) AS int_s FROM s1),
+st1 AS (
+  SELECT q_id,
+         min(CASE WHEN rn <= {K_FINAL} THEN int_s END) AS kth_best,
+         max(ff) AS max_ff, min(score) AS last_sparse
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY int_s DESC) AS rn FROM i1)
+  GROUP BY q_id
+),
+surv AS (
+  SELECT q_id FROM st1
+  WHERE kth_best < round({a}*last_sparse + {b}*max_ff, {SCORE_DECIMALS})
+),
+s2 AS (
+  SELECT c.q_id, c.doc_id,
+         round(list_dot_product(qv.q_vector, e.embedding::DOUBLE[]), {SCORE_DECIMALS}) AS ff
+  FROM (SELECT q_id, doc_id, score FROM bm25_ranked
+        WHERE rank > {d1} AND rank <= {d2} AND q_id IN (SELECT q_id FROM surv)) c
+  JOIN embeddings e ON c.doc_id = e.vec_id JOIN qv ON qv.q_id = c.q_id
+)
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id,
+       round(CAST(ff AS FLOAT) :: DOUBLE, {SCORE_DECIMALS}) AS score FROM s1
+UNION ALL
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id,
+       round(CAST(ff AS FLOAT) :: DOUBLE, {SCORE_DECIMALS}) AS score FROM s2
+"""
 
 
 def _collect_qvecs(spark, sf_dir, mapping) -> dict[str, list[float]]:
@@ -674,8 +757,10 @@ def _collect_qvecs(spark, sf_dir, mapping) -> dict[str, list[float]]:
 
 def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential coalescing (ref util/__init__.py:51-101) of the derived
-    passage table — order-dependent per-doc scan; rows-only check (exact
-    semantics pinned by tests/test_coalesce.py)."""
+    passage table. The scan is order-dependent per doc, but the fixture's
+    passage table has <= 2 passages per doc, so the cluster count has a
+    closed form the DuckDB oracle evaluates: 1 + (cos_dist(v0, v1) >= delta)
+    (exact general semantics pinned by tests/test_corpus_ops.py goldens)."""
     from sparkforward.coalesce import coalesce_vectors
 
     emb = load_embeddings(spark, sf_dir)
@@ -684,5 +769,34 @@ def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_idx"),
         F.col("embedding").alias("vector"),
     )
-    out = coalesce_vectors(src, delta=0.3)
+    out = coalesce_vectors(src, delta=COALESCE_DELTA)
     return out.groupBy("doc_id").agg(F.count("*").alias("n_vectors"))
+
+
+COALESCE_DELTA = 0.3
+
+
+def sql_coalesce() -> str:
+    """Closed-form oracle for q_coalesce on the 2-passages-per-doc fixture.
+
+    The engine computes the cosine in float32 (the reference's dtype,
+    util/__init__.py:40-48); the oracle mirrors it in float64 — safe
+    because no fixture doc's passage-pair distance sits within float32
+    noise of delta (asserted by tests/test_corpus_ops.py's margin check).
+    """
+    return f"""
+WITH psg AS (
+  SELECT vec_id // 2 AS doc_id, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bounds AS (SELECT doc_id, min(vec_id) AS v0, max(vec_id) AS v1 FROM psg GROUP BY doc_id)
+SELECT CAST(p.doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE
+         WHEN p.v0 = p.v1 THEN 1
+         WHEN 1 - list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              >= {COALESCE_DELTA} THEN 2
+         ELSE 1 END AS BIGINT) AS n_vectors
+FROM bounds p
+JOIN psg a ON a.vec_id = p.v0
+JOIN psg b ON b.vec_id = p.v1
+"""

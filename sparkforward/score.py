@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Mapping, Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -108,20 +108,28 @@ def compute_scores(
     qvec_df: DataFrame,
     mode: Mode | None = None,
     check_missing: bool = True,
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """(q_id, id, ff_score) for every candidate pair.
 
     The gather-join keys on the mode's lookup ID; MAXP/AVEP fan out to all
     passages of a doc, FIRSTP to the first-inserted one, PASSAGE to the
     unique passage vector (ref index/util.py:30-36, base.py:306-312).
+
+    ``broadcast_candidates``: hint for callers whose candidate set is known
+    tiny relative to the index (early-stopping depth slices) — turns the
+    gather into a map-side join over the vector scan instead of shuffling
+    the vector table by id.
     """
     mode = mode or index.mode
     id_vectors = index.vectors_for_mode(mode)
     if check_missing:
         _check_missing_ids(candidates, id_vectors)
+    cand = candidates.select("q_id", "id")
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     joined = (
-        candidates.select("q_id", "id")
-        .join(id_vectors, "id")
+        cand.join(id_vectors, "id")
         .join(F.broadcast(qvec_df), "q_id")
         .withColumn("_dot", dot_expr("q_vector", "vector"))
     )
@@ -197,6 +205,114 @@ def interpolated_rerank(
     return out.cut(k) if k is not None else out
 
 
+def _early_stopping_driver(
+    spark: SparkSession,
+    ranked: DataFrame,
+    index: VectorIndex,
+    qvec_df: DataFrame,
+    cutoff: int,
+    alpha: float,
+    depths: Iterable[int],
+    mode: Mode,
+    decimals: int | None,
+) -> Ranking:
+    """Serving-mode early stopping: the reference's driver loop
+    (index/base.py:316-387) with Spark as the vector store.
+
+    One pushdown gather per depth (``id IN (...)`` into the vector scan —
+    only the slice's vector rows are ever read or dotted), NumPy-vectorized
+    scoring, per-query heap criterion. Bounded by the candidate-set size,
+    which the dispatcher in :func:`early_stopping_scores` already checked.
+    """
+    import heapq
+
+    depth_list = [b for b in sorted({int(d) for d in depths}) if b >= cutoff]
+    cand = sorted(
+        ranked.select("q_id", "id", "score", "rank").collect(),
+        key=lambda r: (r["q_id"], r["rank"]),
+    )
+    qvecs = {
+        r["q_id"]: np.asarray(r["q_vector"], dtype=np.float64)
+        for r in qvec_df.collect()
+    }
+    id_vectors = index.vectors_for_mode(mode)
+    vec_cache: dict[str, list] = {}  # id -> [(vec_idx, np.ndarray float64)]
+    state: dict[str, list] = {}  # q_id -> [heap, max_ff, min_sparse]
+    out_rows: list[tuple[str, str, float]] = []
+    surviving: set | None = None
+    a = 0
+    for i, b in enumerate(depth_list):
+        slice_rows = [
+            r
+            for r in cand
+            if a < r["rank"] <= b and (surviving is None or r["q_id"] in surviving)
+        ]
+        need = sorted({r["id"] for r in slice_rows} - vec_cache.keys())
+        if need:
+            # the gather: In-filter pushed into the vector scan — row-group
+            # pruning reads only the slice's rows, the ES saving at scale
+            fetched = id_vectors.filter(F.col("id").isin(need)).select(
+                "id", "vec_idx", "vector"
+            ).collect()
+            for r in fetched:
+                vec_cache.setdefault(r["id"], []).append(
+                    (r["vec_idx"], np.asarray(r["vector"], dtype=np.float64))
+                )
+            for v in vec_cache.values():
+                v.sort(key=lambda t: t[0])
+        scored_any = False
+        for r in slice_rows:
+            vecs = vec_cache.get(r["id"])
+            if not vecs:
+                continue  # missing id: inner-join semantics of the batch path
+            qv = qvecs[r["q_id"]]
+            dots = [float(qv @ v) for _, v in vecs]
+            if mode == Mode.MAXP:
+                ff = max(dots)
+            elif mode == Mode.AVEP:
+                ff = sum(dots) / len(dots)
+            else:  # FIRSTP / PASSAGE: exactly one vector after the view filter
+                ff = dots[0]
+            if decimals is not None:
+                ff = round(ff, decimals)
+            int_s = alpha * r["score"] + (1.0 - alpha) * ff
+            if decimals is not None:
+                int_s = round(int_s, decimals)
+            out_rows.append((r["q_id"], r["id"], ff))
+            scored_any = True
+            st = state.get(r["q_id"])
+            if st is None:
+                st = state[r["q_id"]] = [[], float("-inf"), float("inf")]
+            heapq.heappush(st[0], int_s)
+            if len(st[0]) > cutoff:
+                heapq.heappop(st[0])
+            st[1] = max(st[1], ff)
+            st[2] = min(st[2], r["score"])
+        a = b
+        if i == len(depth_list) - 1:
+            break
+        if not scored_any:
+            break  # no surviving query had rows in (a, b] -> rankings dry
+        surviving = set()
+        for q, (heap, max_ff, last_sparse) in state.items():
+            bound = alpha * last_sparse + (1.0 - alpha) * max_ff
+            if decimals is not None:
+                bound = round(bound, decimals)
+            if heap[0] < bound:
+                surviving.add(q)
+        if not surviving:
+            break
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("score", T.FloatType()),
+        ]
+    )
+    return Ranking(spark.createDataFrame(out_rows, schema), name="fast-forward")
+
+
 def early_stopping_scores(
     ranking: Ranking,
     index: VectorIndex,
@@ -206,6 +322,8 @@ def early_stopping_scores(
     encoder=None,
     query_vectors=None,
     mode: Mode | None = None,
+    decimals: int | None = None,
+    driver_threshold: int = 100_000,
 ) -> Ranking:
     """Iterative-deepening top-k with pruning. Ref: index/base.py:316-387.
 
@@ -216,71 +334,110 @@ def early_stopping_scores(
     (the criterion at base.py:350-358; the "score at current depth" is the
     minimum sparse score scored so far since the frame is rank-ordered).
 
-    Driver loop = len(depths) Spark jobs; surviving q_ids travel as a
-    broadcast isin filter. Returns only the scored prefix rows per query,
-    score column = ff_score (matching the reference's output exactly —
-    tests pin the golden 20-row result of tests/test_index.py:273-333).
+    Two physical strategies, identical semantics (dispatch on candidate
+    volume, like the TAAT/WAND dispatch in serving):
+
+    * **serving mode** (candidates <= ``driver_threshold``): the loop runs
+      on the driver — the reference's own shape (base.py:316-387) — with
+      Spark as the vector store: each depth issues ONE pushdown gather
+      (``id IN (...)`` into the vector scan, so only the scored slice's
+      rows are ever read) and the dots/criterion run vectorized in NumPy.
+      Early stopping exists to bound serve latency; at that scale per-depth
+      distributed jobs cost more than they save.
+    * **batch mode** (large candidate sets): one distributed action per
+      depth — the slice is persisted and its (q_id, score, ff_score,
+      int_score) triples are collected in the action that populates the
+      cache; the pruning criterion is maintained as per-query running state
+      on the driver (a size-cutoff heap + max ff + min sparse), so no extra
+      window/union stages run per depth, and nothing runs after the final
+      depth.
+
+    Returns only the scored prefix rows per query, score column = ff_score
+    (matching the reference's output exactly — tests pin the golden 20-row
+    result of tests/test_index.py:273-333, and both strategies are pinned
+    equal).
+
+    ``decimals``: when set, ff/interpolated scores are rounded before the
+    pruning comparisons — bit-reproducible across engines (the DuckDB
+    oracle unrolls the same iterations); ``None`` keeps the reference's raw
+    float64 semantics.
     """
     spark = SparkSession.getActiveSession()
     qvec_df = _query_vectors_df(spark, ranking, encoder, query_vectors)
 
-    # precompute the per-query rank once (score desc, id asc — see ranking.py)
-    ranked = add_ranks(ranking.df).cache()
+    # Precompute the per-query rank once (score desc, id asc — ranking.py).
+    # localCheckpoint (not cache): caching short-circuits EXECUTION but every
+    # depth's action would still re-analyze the candidate ranking's full
+    # logical plan (first-stage BM25 lineage) — Catalyst planning time, not
+    # compute, dominated the loop. Checkpointing truncates the plan so each
+    # depth plans against a shallow in-memory scan.
+    ranked = add_ranks(ranking.df).localCheckpoint(eager=True)
     mode = mode or index.mode
 
+    if ranked.count() <= driver_threshold:
+        return _early_stopping_driver(
+            spark, ranked, index, qvec_df, cutoff, alpha, depths, mode, decimals
+        )
+
+    import heapq
+
+    depth_list = [b for b in sorted({int(d) for d in depths}) if b >= cutoff]
     accumulated: DataFrame | None = None
+    surviving: list | None = None  # None = all queries
     a = 0
-    for b in sorted(set(int(d) for d in depths)):
-        if b < cutoff:
-            continue
-        if a == 0:
-            surviving = None  # all queries
-        else:
-            w = Window.partitionBy("q_id").orderBy(F.desc("int_score"))
-            stats = (
-                accumulated.withColumn("_rn", F.row_number().over(w))
-                .groupBy("q_id")
-                .agg(
-                    F.min(F.when(F.col("_rn") <= cutoff, F.col("int_score"))).alias(
-                        "kth_best"
-                    ),
-                    F.max("ff_score").alias("max_ff"),
-                    F.min("score").alias("last_sparse"),
-                )
-            )
-            surviving = [
-                r["q_id"]
-                for r in stats.filter(
-                    F.col("kth_best")
-                    < alpha * F.col("last_sparse") + (1.0 - alpha) * F.col("max_ff")
-                )
-                .select("q_id")
-                .collect()
-            ]
-            if not surviving:
-                break
+    # per-query running criterion state:
+    # q_id -> [min-heap of the best <=cutoff int_scores, max_ff, min_sparse]
+    state: dict[str, list] = {}
+    for i, b in enumerate(depth_list):
         chunk = ranked.filter((F.col("rank") > a) & (F.col("rank") <= b))
         if surviving is not None:
             chunk = chunk.filter(F.col("q_id").isin(surviving))
-        ff = compute_scores(chunk, index, qvec_df, mode=mode, check_missing=False)
-        chunk_scores = (
-            chunk.join(ff, ["q_id", "id"])
-            .withColumn(
-                "int_score",
-                alpha * F.col("score") + (1.0 - alpha) * F.col("ff_score"),
-            )
+        ff = compute_scores(
+            chunk, index, qvec_df, mode=mode, check_missing=False,
+            broadcast_candidates=True,
         )
-        # one job materializes the slice; the emptiness check reads the
-        # checkpointed result instead of running a separate probe job
-        chunk_scores = chunk_scores.localCheckpoint(eager=True)
-        if chunk_scores.count() == 0:
-            break
+        if decimals is not None:
+            ff = ff.withColumn("ff_score", F.round("ff_score", decimals))
+        int_score = alpha * F.col("score") + (1.0 - alpha) * F.col("ff_score")
+        if decimals is not None:
+            int_score = F.round(int_score, decimals)
+        chunk_scores = (
+            chunk.join(ff, ["q_id", "id"]).withColumn("int_score", int_score)
+        ).persist()
         accumulated = (
             chunk_scores
             if accumulated is None
             else accumulated.unionByName(chunk_scores)
         )
         a = b
+        if i == len(depth_list) - 1:
+            # no criterion evaluation after the final depth — one count()
+            # populates the slice's cache so `ranked` can be released below
+            chunk_scores.count()
+            break
+        # ONE action per depth: collecting the slice's score triples also
+        # populates its cache; the criterion updates driver-side state
+        rows = chunk_scores.select("q_id", "score", "ff_score", "int_score").collect()
+        if not rows:  # no surviving query had rows in (a, b] -> rankings dry
+            break
+        for r in rows:
+            st = state.get(r["q_id"])
+            if st is None:
+                st = state[r["q_id"]] = [[], float("-inf"), float("inf")]
+            heapq.heappush(st[0], r["int_score"])
+            if len(st[0]) > cutoff:
+                heapq.heappop(st[0])
+            st[1] = max(st[1], r["ff_score"])
+            st[2] = min(st[2], r["score"])
+        surviving = []
+        for q, (heap, max_ff, last_sparse) in state.items():
+            bound = alpha * last_sparse + (1.0 - alpha) * max_ff
+            if decimals is not None:
+                bound = round(bound, decimals)
+            if heap[0] < bound:
+                surviving.append(q)
+        if not surviving:
+            break
 
     if accumulated is None:
         return Ranking(

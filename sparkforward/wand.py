@@ -381,36 +381,47 @@ def wand_topk(
     avgdl = float(index.stats["avgdl"])
     block_size = int(index.stats.get("block_size", 128))
     kk = int(k)
+    spark = queries.sparkSession
 
-    qt = query_terms(queries)
-    # The query-term set is tiny and known before the scan — collect it and
-    # push an In(term, ...) predicate INTO the parquet scan so row-group
-    # min/max pruning on the term-sorted postings skips everything else
-    # (a broadcast join alone would still read every row group).
-    term_list = [r["term"] for r in qt.select("term").distinct().collect()]
+    # The query-term set is tiny and known before the scan — collect it, look
+    # the terms up in the dictionary (a point query on the vocab-sized terms
+    # table), and push an In(term, ...) predicate INTO the parquet scan so
+    # row-group min/max pruning on the term-sorted postings skips everything
+    # else (a broadcast join alone would still read every row group). idf and
+    # per-query parallelism then travel as ONE broadcast side table instead
+    # of three separate joins — two fewer stages per serve call.
+    qt_rows = query_terms(queries).collect()
+    term_list = sorted({r["term"] for r in qt_rows})
     tmeta = index.terms
     if "n_shards" not in tmeta.columns:  # pre-round-2 index layout
         tmeta = tmeta.withColumn("n_shards", F.lit(1))
     postings = index.postings
     if "n_shards" not in postings.columns:
         postings = postings.withColumn("n_shards", F.lit(1))
+    meta = {
+        r["term"]: (float(r["idf"]), int(r["n_shards"]))
+        for r in tmeta.filter(F.col("term").isin(term_list))
+        .select("term", "idf", "n_shards")
+        .collect()
+    }
 
-    qpar = (
-        qt.join(tmeta.select("term", "n_shards"), "term")
-        .groupBy("q_id")
-        .agg(F.max("n_shards").alias("q_n_serve"))
-    )
+    forced = 1
     if n_serve_shards and int(n_serve_shards) > 1:
         forced = 1 << (int(n_serve_shards) - 1).bit_length()  # next pow2 >= n
-        qpar = qpar.withColumn(
-            "q_n_serve", F.greatest(F.col("q_n_serve"), F.lit(int(forced)))
-        )
+    q_terms: dict[str, list[str]] = {}
+    for r in qt_rows:
+        if r["term"] in meta:
+            q_terms.setdefault(r["q_id"], []).append(r["term"])
+    q_n_serve = {
+        q: max(forced, max(meta[t][1] for t in ts)) for q, ts in q_terms.items()
+    }
+    qt_meta = spark.createDataFrame(
+        [(q, t, meta[t][0], q_n_serve[q]) for q, ts in q_terms.items() for t in ts],
+        "q_id string, term string, idf double, q_n_serve int",
+    )
 
-    gathered = (
-        postings.filter(F.col("term").isin(term_list))
-        .join(F.broadcast(qt), "term")
-        .join(F.broadcast(tmeta.select("term", "idf")), "term")
-        .join(F.broadcast(qpar), "q_id")
+    gathered = postings.filter(F.col("term").isin(term_list)).join(
+        F.broadcast(qt_meta), "term"
     )
     # a row with shard modulus m serves shards {salt, salt+m, ...} < q_n_serve
     sharded = gathered.withColumn(

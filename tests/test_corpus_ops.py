@@ -227,6 +227,30 @@ def test_coalescing_golden(spark):
     assert len(out2[out2["doc_id"] == "d0"]) == 2  # nothing merged
 
 
+def test_coalesce_oracle_margin():
+    """The q_coalesce DuckDB oracle computes the passage-pair cosine in
+    float64 while the engine uses float32 (reference dtype). Safe only if
+    no fixture pair sits within float32 noise of delta — assert a margin
+    >= 1e-4 at both driver fixture scales."""
+    import duckdb
+
+    from sparkforward.queries import COALESCE_DELTA
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        gap = con.execute(f"""
+            WITH psg AS (SELECT vec_id // 2 AS d, vec_id, embedding::DOUBLE[] AS v
+                         FROM '{sf}/embeddings.parquet'),
+            b AS (SELECT d, min(vec_id) AS v0, max(vec_id) AS v1 FROM psg GROUP BY d)
+            SELECT min(abs(1 - list_dot_product(a.v, c.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   - {COALESCE_DELTA}))
+            FROM b JOIN psg a ON a.vec_id = b.v0 JOIN psg c ON c.vec_id = b.v1
+            WHERE b.v0 <> b.v1
+        """).fetchone()[0]
+        assert gap is not None and gap >= 1e-4, (sf, gap)
+
+
 # ------------------------------------------------------------ encoders #
 def test_hash_encoder_deterministic(spark):
     from sparkforward.encoders import HashEncoder, encode_df

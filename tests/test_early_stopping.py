@@ -62,3 +62,43 @@ def test_early_stopping_equals_full_when_depth_exhausts(spark, es_setup):
         query_vectors=qvecs, mode=Mode.PASSAGE,
     )
     assert _as_dict(es) == _as_dict(full)
+
+
+def test_early_stopping_strategies_identical(spark, es_setup):
+    """The driver (serving) and distributed (batch) strategies must produce
+    identical rows — same slices scored, same pruning decisions."""
+    index, ranking, qvecs = es_setup
+    kw = dict(cutoff=5, alpha=0.5, depths=(2, 5, 10, 20),
+              query_vectors=qvecs, mode=Mode.PASSAGE)
+    drv = early_stopping_scores(ranking, index, driver_threshold=10**9, **kw)
+    dist = early_stopping_scores(ranking, index, driver_threshold=0, **kw)
+    assert _as_dict(drv) == _as_dict(dist) == EXPECTED
+
+
+def test_early_stopping_strategies_identical_maxp(spark):
+    """Strategy equivalence on a multi-passage MAXP index with pruning that
+    actually fires (distinct per-passage vectors, decaying sparse scores)."""
+    rng = np.random.default_rng(5)
+    vectors = rng.standard_normal((60, 4)).astype(np.float32)
+    index = VectorIndex.empty(spark).add(
+        vectors,
+        doc_ids=[f"d{i // 2}" for i in range(60)],
+        psg_ids=[f"p{i}" for i in range(60)],
+    )
+    run = {
+        q: {f"d{i}": float(30 - i) for i in range(30)} for q in ("q1", "q2", "q3")
+    }
+    ranking = Ranking.from_run(
+        spark, run, queries={q: q for q in ("q1", "q2", "q3")}
+    )
+    qvecs = {q: rng.standard_normal(4).tolist() for q in ("q1", "q2", "q3")}
+    kw = dict(cutoff=3, alpha=0.3, depths=(5, 10, 20, 30),
+              query_vectors=qvecs, mode=Mode.MAXP, decimals=4)
+    drv = early_stopping_scores(ranking, index, driver_threshold=10**9, **kw)
+    dist = early_stopping_scores(ranking, index, driver_threshold=0, **kw)
+    d1, d2 = _as_dict(drv), _as_dict(dist)
+    assert set(d1) == set(d2)
+    for q in d1:
+        assert set(d1[q]) == set(d2[q]), q
+        for doc in d1[q]:
+            assert abs(d1[q][doc] - d2[q][doc]) < 1e-5, (q, doc)
