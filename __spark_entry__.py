@@ -83,13 +83,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_avep": q.q_mode_avep,
         "mode_firstp": q.q_mode_firstp,
         "mode_passage": q.q_mode_passage,
-        # similarity search
+        # similarity search (exact baseline + LSH scale path)
         "similarity_topk": q.q_similarity_topk,
-        # dedup
+        "similarity_lsh_topk": q.q_similarity_lsh_topk,
+        # dedup (dedup_embedding = all-pairs oracle baseline;
+        #        dedup_embedding_lsh = the bucketed scale path)
         "dedup_exact": q.q_dedup_exact,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
         "dedup_embedding": q.q_dedup_embedding,
+        "dedup_embedding_lsh": q.q_dedup_embedding_lsh,
         "doc_fingerprint": q.q_doc_fingerprint,
         # text analysis
         "token_count": q.q_token_count,
@@ -117,10 +120,12 @@ def oracle_sql() -> dict[str, str]:
         "mode_firstp": q.sql_mode_firstp(),
         "mode_passage": q.sql_mode_passage(),
         "similarity_topk": q.sql_similarity_topk(),
+        "similarity_lsh_topk": q.sql_similarity_lsh_topk(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
         "dedup_ngram_jaccard": q.sql_dedup_ngram_jaccard(),
         "dedup_embedding": q.sql_dedup_embedding(),
+        "dedup_embedding_lsh": q.sql_dedup_embedding_lsh(),
         "doc_fingerprint": q.sql_doc_fingerprint(),
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),

@@ -201,29 +201,60 @@ def _shingles(docs: DataFrame, text_col: str = "text", n: int = NGRAM_N) -> Data
     )
 
 
+#: candidate-generation df cap: shingles shared by more docs than this are
+#: boilerplate (navbars, footers, licenses) and are excluded from the
+#: candidate self-join — one viral shingle in k docs would otherwise emit
+#: k^2/2 candidate rows. The exact-Jaccard verify still runs over FULL
+#: shingle sets, so capped pairs that share any sub-cap shingle are scored
+#: correctly; pairs whose ONLY overlap is boilerplate are (deliberately)
+#: not near-duplicates.
+NGRAM_DF_CAP = 1000
+
+
+def _ngram_candidates(
+    sh: DataFrame, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from sub-cap shingles only."""
+    cold = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= int(df_cap))
+        .select("shingle")
+    )
+    pruned = sh.join(cold, "shingle")
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     n: int = NGRAM_N,
     threshold: float = NGRAM_JACCARD_THRESHOLD,
+    df_cap: int = NGRAM_DF_CAP,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) — exact n-gram-shingle Jaccard near-dup pairs.
 
-    Candidate pairs come from the shingle self-join (only docs sharing at
-    least one n-gram ever meet — with n>=3, distinct docs rarely collide, so
-    the join is sparse); Jaccard is computed exactly from the intersection
-    count. Scale note: a pathological shingle shared by k docs creates
-    k^2/2 candidate rows — at web scale hot shingles (boilerplate) get
-    df-capped first (drop shingles above a frequency threshold), the same
-    pattern as head-term salting.
+    Candidate pairs come from the shingle self-join restricted to shingles
+    with df <= ``df_cap`` (see NGRAM_DF_CAP — the skew guard that keeps one
+    boilerplate shingle from emitting a quadratic candidate set, the same
+    pattern as head-term salting); Jaccard is then computed exactly from
+    the FULL shingle sets of each candidate pair.
     """
     sh = _shingles(docs, text_col, n)
+    cand = _ngram_candidates(sh, df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))
     )
@@ -257,10 +288,18 @@ sh AS (
         i -> array_to_string(ts[i : i + {NGRAM_N} - 1], ' '))) AS g(shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+dfsh AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  JOIN dfsh d ON d.shingle = a.shingle AND d.c <= {NGRAM_DF_CAP}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh ta ON ta.doc_id = c.doc_a
+  JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
        round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) AS jaccard
@@ -307,6 +346,59 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
       >= {COSINE_DUP_THRESHOLD}
 """
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = COSINE_DUP_THRESHOLD,
+    dim: int = 64,
+    n_bits: int = 4,
+    num_tables: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, cosine) — the SCALE path for embedding near-dup.
+
+    Candidates come from deterministic-LSH bucket equi-joins (one per
+    table, unioned, deduped) — never an all-pairs theta join — then the
+    exact cosine verify runs on candidates only (vectors re-joined by id so
+    the candidate shuffle moves ids, not vectors). Same verify expression
+    and threshold as :func:`embedding_near_duplicates`; output is the
+    LSH-recalled subset, reproduced exactly by the DuckDB oracle
+    (queries.sql_dedup_embedding_lsh) because bucket assignments use
+    similarity.deterministic_planes.
+    """
+    from sparkforward.similarity import add_deterministic_buckets, cosine_expr
+
+    bucketed = add_deterministic_buckets(
+        emb.select(id_col, vec_col), dim, n_bits=n_bits, num_tables=num_tables,
+        vec_col=vec_col,
+    )
+    pairs = None
+    for t in range(num_tables):
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(f"bucket_{t}").alias("_bk")
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(f"bucket_{t}").alias("_bk")
+        )
+        m = (
+            a.join(b, "_bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = m if pairs is None else pairs.unionByName(m)
+    pairs = pairs.distinct()
+
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:

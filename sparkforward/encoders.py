@@ -95,26 +95,38 @@ class HashEncoder(Encoder):
 
 def encode_df(
     df: DataFrame,
-    encoder: Encoder,
+    encoder: Encoder | None = None,
     text_col: str = "query",
     out_col: str = "vector",
     batch_size: int = 256,
+    encoder_factory: Callable[[], Encoder] | None = None,
 ) -> DataFrame:
     """Distributed encoding via mapInPandas (Arrow-batched).
 
-    The encoder object is pickled into the task closure once per executor —
-    the distributed analogue of the reference's broadcast model + batched
-    forward pass (index/base.py:58-72).
+    Two ways to supply the encoder:
+
+    * ``encoder`` — a ready object pickled into the task closure; right for
+      cheap encoders (Lambda/Hash) whose state ships in a few bytes.
+    * ``encoder_factory`` — a zero-arg callable invoked ONCE per task,
+      inside the batch iterator, before the first batch. This is the hook a
+      heavy model encoder needs (ref encoder/transformer.py:18-90 loads a
+      torch checkpoint): the model is constructed on the WORKER, exactly
+      once per task, and amortized across every Arrow batch the task
+      processes — never per 256-row slice, never on the driver.
+      (tests pin one init per task via an accumulator-counting factory.)
     """
+    if (encoder is None) == (encoder_factory is None):
+        raise ValueError("Provide exactly one of encoder / encoder_factory.")
     schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
     )
 
     def encode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = encoder_factory() if encoder_factory is not None else encoder
         for pdf in it:
             for lo in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[lo : lo + batch_size].copy()
-                vecs = encoder(chunk[text_col].tolist())
+                vecs = enc(chunk[text_col].tolist())
                 chunk[out_col] = list(np.asarray(vecs, dtype=np.float32))
                 yield chunk
 

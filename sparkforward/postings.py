@@ -514,6 +514,23 @@ def merge_partials(
 
     done = completed_partitions(path) if resume else frozenset()
     write_manifest = manifest_writer(path)
+    if resume:
+        # A crash between the postings job commit and the manifest write
+        # leaves complete bucket data with NO manifest; blind mode='append'
+        # would then add a second full copy of every (term, salt) row and
+        # serving would double-count. Data write + manifest commit are made
+        # atomic per bucket by deleting any UNMANIFESTED bucket directory
+        # before appending (committed buckets are never touched).
+        import glob as _glob
+        import shutil as _shutil
+
+        for d in _glob.glob(os.path.join(path, "postings", "bucket=*")):
+            try:
+                bucket_id = int(d.rsplit("=", 1)[1])
+            except ValueError:
+                continue
+            if bucket_id not in done:
+                _shutil.rmtree(d, ignore_errors=True)
 
     def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = keys

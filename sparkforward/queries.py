@@ -605,6 +605,92 @@ def sql_dedup_embedding() -> str:
     return EMBEDDING_DUP_SQL
 
 
+LSH_DIM = 64
+LSH_BITS = 4
+LSH_TABLES = 8
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (deterministic-LSH) embedding near-dup — the scale path the
+    driver gate checks, vs the all-pairs baseline in q_dedup_embedding."""
+    from sparkforward.dedup import embedding_near_duplicates_lsh
+
+    return embedding_near_duplicates_lsh(
+        load_embeddings(spark, sf_dir),
+        dim=LSH_DIM, n_bits=LSH_BITS, num_tables=LSH_TABLES,
+    )
+
+
+def sql_dedup_embedding_lsh() -> str:
+    from sparkforward.dedup import COSINE_DUP_THRESHOLD
+    from sparkforward.similarity import bucket_sql_exprs
+
+    exprs = bucket_sql_exprs(LSH_DIM, LSH_BITS, LSH_TABLES)
+    buckets = ", ".join(f"{e} AS bucket_{t}" for t, e in enumerate(exprs))
+    match = " OR ".join(f"a.bucket_{t} = b.bucket_{t}" for t in range(LSH_TABLES))
+    cos = (
+        "list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])))"
+    )
+    return f"""
+WITH eb AS (SELECT vec_id, {buckets} FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.vec_id < b.vec_id AND ({match})
+)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+FROM cand c JOIN embeddings x ON x.vec_id = c.id_a
+            JOIN embeddings y ON y.vec_id = c.id_b
+WHERE round({cos}, 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: deterministic-LSH bucket-pruned cosine top-k."""
+    from sparkforward.similarity import lsh_topk_deterministic
+
+    emb = load_embeddings(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    return lsh_topk_deterministic(
+        emb, qvecs, dim=LSH_DIM, k=K_FINAL, n_bits=LSH_BITS, num_tables=LSH_TABLES
+    )
+
+
+def sql_similarity_lsh_topk() -> str:
+    from sparkforward.similarity import bucket_sql_exprs
+
+    e_exprs = bucket_sql_exprs(LSH_DIM, LSH_BITS, LSH_TABLES)
+    q_exprs = bucket_sql_exprs(LSH_DIM, LSH_BITS, LSH_TABLES, vec_expr="qe::DOUBLE[]")
+    e_buckets = ", ".join(f"{e} AS bucket_{t}" for t, e in enumerate(e_exprs))
+    q_buckets = ", ".join(f"{e} AS bucket_{t}" for t, e in enumerate(q_exprs))
+    match = " OR ".join(f"e.bucket_{t} = q.bucket_{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
+qv AS (SELECT q_id, embedding AS qe FROM qvec JOIN embeddings ON qvec_id = vec_id),
+eb AS (SELECT vec_id, {e_buckets} FROM embeddings),
+qb AS (SELECT q_id, qe, {q_buckets} FROM qv),
+cand AS (
+  SELECT DISTINCT q.q_id, e.vec_id FROM qb q JOIN eb e ON ({match})
+),
+sims AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_dot_product(qv.qe::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv.qe::DOUBLE[], qv.qe::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN qv ON qv.q_id = c.q_id
+),
+rr AS (SELECT q_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM sims)
+SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, cosine FROM rr WHERE rank <= {K_FINAL}
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.dedup import doc_fingerprints
 

@@ -61,6 +61,79 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_bits, dim)).astype(np.float32)
 
 
+def deterministic_planes(dim: int, n_bits: int, num_tables: int) -> np.ndarray:
+    """(num_tables, n_bits, dim) array of ±1 sign hyperplanes from pure
+    integer arithmetic (LCG over (table, plane, coord)) — identical values
+    are derivable in ANSI SQL, so LSH bucket assignments can be reproduced
+    exactly by the DuckDB oracle. Rademacher (±1) projections are a
+    standard random-projection family; recall behaves like Gaussian planes.
+    """
+    t = np.arange(num_tables, dtype=np.int64)[:, None, None]
+    p = np.arange(n_bits, dtype=np.int64)[None, :, None]
+    j = np.arange(dim, dtype=np.int64)[None, None, :]
+    seed = t * 1000003 + p * 10007 + j
+    h = (1103515245 * seed + 12345) % (1 << 31)
+    return (1 - 2 * ((h >> 16) & 1)).astype(np.float64)
+
+
+def add_deterministic_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 6,
+    num_tables: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append oracle-reproducible LSH bucket columns (one per table).
+
+    Bit p of table t = (round(v . plane_{t,p}, 6) >= 0): the float64 matmul
+    is order-insensitive at 6-decimal granularity, so Spark (NumPy, Arrow-
+    batched map-side) and the SQL oracle (list_dot_product over the same
+    literal ±1 planes) assign identical buckets.
+    """
+    planes = deterministic_planes(dim, n_bits, num_tables)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    out_fields = df.schema.fields + [
+        T.StructField(f"bucket_{t}", T.LongType()) for t in range(num_tables)
+    ]
+
+    def bucketize(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pdf.assign(
+                    **{f"bucket_{t}": pd.Series(dtype="int64") for t in range(num_tables)}
+                )
+                continue
+            M = np.stack(
+                pdf[vec_col].apply(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            for t in range(num_tables):
+                bits = np.round(M @ planes[t].T, 6) >= 0
+                pdf[f"bucket_{t}"] = (bits @ weights).astype(np.int64)
+            yield pdf
+
+    return df.mapInPandas(bucketize, schema=T.StructType(out_fields))
+
+
+def bucket_sql_exprs(
+    dim: int, n_bits: int = 6, num_tables: int = 2, vec_expr: str = "embedding::DOUBLE[]"
+) -> list[str]:
+    """The DuckDB expressions computing the same buckets as
+    :func:`add_deterministic_buckets` (the ±1 planes are inlined literals —
+    both engines consume the one Python-derived array)."""
+    planes = deterministic_planes(dim, n_bits, num_tables)
+    exprs = []
+    for t in range(num_tables):
+        bits = []
+        for p in range(n_bits):
+            lit = "[" + ",".join(str(x) for x in planes[t, p].astype(int)) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product({vec_expr}, {lit}), 6) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        exprs.append(" + ".join(bits))
+    return exprs
+
+
 def add_simhash_buckets(
     emb: DataFrame,
     dim: int,
@@ -92,6 +165,53 @@ def add_simhash_buckets(
             yield pdf
 
     return emb.mapInPandas(bucketize, schema=T.StructType(out_fields))
+
+
+def lsh_topk_deterministic(
+    emb: DataFrame,
+    query_vectors: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 4,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over oracle-reproducible LSH buckets.
+
+    Same plan shape as :func:`lsh_topk` (bucket-pruned equi-joins, one per
+    table — never corpus x queries), but with :func:`deterministic_planes`
+    so the DuckDB oracle reproduces the exact candidate set: the driver
+    gate can hash-compare the SCALE path, not just the brute-force baseline.
+    """
+    bucketed = add_deterministic_buckets(
+        emb.select(id_col, vec_col), dim, n_bits=n_bits, num_tables=num_tables,
+        vec_col=vec_col,
+    )
+    qb = add_deterministic_buckets(
+        query_vectors.select("q_id", F.col("q_vector").alias(vec_col)),
+        dim, n_bits=n_bits, num_tables=num_tables, vec_col=vec_col,
+    ).withColumnRenamed(vec_col, "q_vector")
+
+    matches = None
+    for t in range(num_tables):
+        m = bucketed.join(
+            F.broadcast(qb.select("q_id", "q_vector", f"bucket_{t}")), f"bucket_{t}"
+        ).select("q_id", "q_vector", id_col, vec_col)
+        matches = m if matches is None else matches.unionByName(m)
+    matches = matches.dropDuplicates(["q_id", id_col])
+
+    sims = matches.select(
+        "q_id",
+        F.col(id_col).alias("_id"),
+        F.round(cosine_expr("q_vector", vec_col), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "cosine")
+    )
 
 
 def lsh_topk(

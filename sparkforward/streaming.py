@@ -50,10 +50,19 @@ def stream_ingest(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         partials = _build_partials(batch_df, id_col, text_col)
-        # tag rows with the micro-batch id: lineage per ingest increment
-        partials.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-            "append"
-        ).parquet(partial_dir)
+        # Structured Streaming's foreachBatch contract is at-least-once: a
+        # crashed-and-replayed micro-batch re-delivers the same batch_id.
+        # Writing each batch as its OWN partition with dynamic partition
+        # overwrite makes the replay idempotent — the retry replaces its own
+        # partition instead of appending a second copy that would
+        # double-count tf/df/N/avgdl after compaction (tested).
+        (
+            partials.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partial_dir)
+        )
 
     writer = (
         pages.writeStream.foreachBatch(sink)

@@ -218,3 +218,171 @@ def test_index_from_dicts_insertion_order(spark):
     assert firstp["q1"] == {"d0": 2.0, "d1": 4.0}
     maxp = ff_score(ranking, idx, encoder=qenc, mode=Mode.MAXP)
     assert maxp["q1"] == {"d0": 6.0, "d1": 4.0}
+
+
+# ------------------------------------------ deterministic LSH scale paths #
+def test_dedup_embedding_lsh_plan_and_recall(spark):
+    """The driver-checked embedding-dedup path must be bucket-joined (no
+    all-pairs nested loop in the plan) and its output must be a subset of
+    the exact all-pairs result with non-trivial recall."""
+    from sparkforward import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    lsh_df = q.q_dedup_embedding_lsh(spark, sf)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in q.q_dedup_embedding(spark, sf).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in lsh_df.collect()}
+    assert set(lsh) <= set(exact)
+    assert len(lsh) >= 0.5 * len(exact)  # fixture-calibrated recall floor
+    for pair, c in lsh.items():
+        assert abs(c - exact[pair]) < 1e-9  # identical verify expression
+
+
+def test_similarity_lsh_topk_recall(spark):
+    """ANN scale path: candidates only from bucket joins; recall@10 vs the
+    exact brute-force baseline above a fixture-calibrated floor."""
+    from sparkforward import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    lsh_df = q.q_similarity_lsh_topk(spark, sf)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exact = {(r["q_id"], r["id"]) for r in q.q_similarity_topk(spark, sf).collect()}
+    got = {(r["q_id"], r["id"]) for r in lsh_df.collect()}
+    assert len(got & exact) / len(exact) >= 0.4
+
+
+def test_deterministic_planes_stable():
+    """Bucket planes are pure integer arithmetic — pinned values so any
+    drift (which would silently break oracle parity) fails loudly."""
+    import numpy as np
+
+    from sparkforward.similarity import deterministic_planes
+
+    P = deterministic_planes(2, 4, 2)
+    assert P.shape == (2, 4, 2)
+    assert set(np.unique(P)) == {-1.0, 1.0}
+    P64 = deterministic_planes(64, 4, 8)
+    assert P64[0, 0, :4].tolist() == [1.0, 1.0, 1.0, -1.0]
+    assert abs(float(P64.mean())) < 0.1  # balanced signs
+
+
+def test_ngram_df_cap_bounds_skew(spark):
+    """One boilerplate shingle shared by 400 docs must NOT create a
+    quadratic candidate set (the round-2 df-cap), while genuinely similar
+    pairs (sharing sub-cap shingles) still verify with their exact full-set
+    Jaccard."""
+    from sparkforward.dedup import (
+        _ngram_candidates,
+        _shingles,
+        ngram_jaccard_duplicates,
+    )
+
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"document body {i} unique tokens here {boiler}") for i in range(400)]
+    # two true near-dup pairs sharing distinctive shingles
+    rows += [
+        (1000, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (1001, f"alpha beta gamma delta epsilon eta {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingles(docs, "text", 3)
+    n_cand = _ngram_candidates(sh, df_cap=50).count()
+    # uncapped, the boilerplate shingles alone give ~402*401/2 > 80k pairs
+    assert n_cand < 2000, n_cand
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_duplicates(docs, threshold=0.3, df_cap=50).collect()}
+    assert (1000, 1001) in out
+    # Jaccard uses FULL shingle sets (boilerplate included in denominator):
+    # both docs have 9 shingles (tokens=10 -> 8 own + boiler overlap),
+    # shared = 3 ("delta epsilon X" differs) + boiler chain
+    assert 0.3 <= out[(1000, 1001)] < 1.0
+
+
+def test_encoder_factory_one_init_per_task(spark):
+    """encoder_factory must be invoked exactly once per task (per-worker
+    model-load amortization, ref index/base.py:58-72 pattern) — not once
+    per batch slice."""
+    from sparkforward.encoders import HashEncoder, encode_df
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def factory():
+        acc.add(1)
+        return HashEncoder(dim=8)
+
+    df = spark.createDataFrame(
+        [(f"text {i}",) for i in range(100)], "query string"
+    ).repartition(4)
+    out = encode_df(df, encoder_factory=factory, batch_size=10)
+    assert out.count() == 100
+    # 4 tasks, 10-row slices: a per-slice init would give 40
+    assert acc.value == 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_df(df)  # neither encoder nor factory
+
+
+def test_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same micro-batch id
+    must not double-count tf/df/N/avgdl in the compacted index (round-2:
+    batch_id-partitioned dynamic overwrite)."""
+    import os
+
+    from sparkforward.postings import _build_partials
+    from sparkforward.streaming import compact_streamed_index
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    path = str(tmp_path / "replay")
+    partial_dir = os.path.join(path, "partials")
+
+    def sink_once(batch_id):
+        (
+            _build_partials(docs, "doc_id", "text")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(partial_dir)
+        )
+
+    sink_once(0)
+    sink_once(0)  # the replay
+    idx = compact_streamed_index(spark, path, num_partitions=2)
+    assert int(idx.stats["n_docs"]) == docs.count()
+    # df of any term cannot exceed the doc count (a double-append doubles it)
+    max_df = idx.terms.agg(F.max("df")).collect()[0][0]
+    assert max_df <= docs.count()
+
+
+def test_resume_removes_unmanifested_bucket_data(spark, tmp_path):
+    """Crash between the postings job commit and the manifest write leaves
+    complete bucket data with no manifest; resume must rebuild that bucket
+    WITHOUT duplicating its rows (round-2: unmanifested dirs are cleared
+    before the append)."""
+    import glob
+    import os
+
+    from sparkforward.postings import build_inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "crash")
+    idx = build_inverted_index(docs, path, num_partitions=4)
+    rows_before = idx.postings.count()
+    # simulate the crash: data fully written, NO manifests committed
+    for m in glob.glob(os.path.join(path, "_manifests", "bucket-*.json")):
+        os.remove(m)
+    idx2 = build_inverted_index(docs, path, num_partitions=4, resume=True)
+    assert idx2.postings.count() == rows_before  # no duplicated shards
+    dup = (
+        idx2.postings.groupBy("term", "salt").count().filter("count > 1").count()
+    )
+    assert dup == 0

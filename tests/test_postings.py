@@ -132,10 +132,23 @@ def test_resume_skips_completed_buckets(spark, docs, tmp_path):
     assert len(manifests) == 4
     # delete one manifest -> only that bucket is rebuilt on resume
     os.remove(manifests[0])
-    before = set(glob.glob(os.path.join(path, "postings", "bucket=*/*.parquet")))
+    committed_before = {
+        f
+        for f in glob.glob(os.path.join(path, "postings", "bucket=*/*.parquet"))
+        if "bucket=0/" not in f
+    }
+    uncommitted_before = set(
+        glob.glob(os.path.join(path, "postings", "bucket=0/*.parquet"))
+    )
     idx = build_inverted_index(docs, path, num_partitions=4, resume=True)
     after = set(glob.glob(os.path.join(path, "postings", "bucket=*/*.parquet")))
-    assert before <= after  # completed buckets untouched, missing one re-added
+    # committed buckets untouched; the unmanifested bucket's stale files are
+    # REPLACED, not appended to (append would double-count at serve time)
+    assert committed_before <= after
+    assert not (uncommitted_before & after)
+    assert set(glob.glob(os.path.join(path, "postings", "bucket=0/*.parquet")))
+    dup = idx.postings.groupBy("term", "salt").count().filter("count > 1").count()
+    assert dup == 0
     assert len(glob.glob(os.path.join(path, "_manifests", "bucket-*.json"))) == 4
     # index still serves correctly after resume
     assert len(_serve(spark, idx)) > 0
