@@ -92,6 +92,90 @@ def main() -> None:
     timings["wand_serve_8q"] = round(lat[0], 3)
     wand_p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
 
+    deep: dict[str, float] = {}
+    # Deep re-rank pair: the regime early stopping exists for. 16 queries x
+    # the full embedding table (~1.9M candidate pairs at sf0.1) from ONE
+    # shared checkpointed candidate ranking; exhaustive interpolation dense-
+    # scores every pair, early stopping (batch strategy) scores only the
+    # slices its criterion demands. Sparse prior dominates (alpha=0.9,
+    # exp-decaying scores), the realistic shape when the first stage is
+    # trusted — ES should win here and it is benchmarked head-to-head.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkforward.index import Mode, VectorIndex
+    from sparkforward.ranking import Ranking
+    from sparkforward.score import dot_expr, early_stopping_scores
+
+    emb_small = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_base = emb_small.count()
+    # tile the fixture vectors to corpus-like volume (the fixture table is
+    # tiny; re-rank cost scales with candidate count, not distinct values)
+    tile = 100
+    emb = (
+        emb_small.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(tile - 1))))
+        .select(
+            (F.col("vec_id") + F.lit(n_base) * F.col("rep")).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(CPUS)
+        .localCheckpoint(eager=True)
+    )
+    n_dq = 16
+    qmap = spark.createDataFrame(
+        [(f"dq{i}", i) for i in range(n_dq)], "q_id string, qvec_id long"
+    )
+    qvec_rows = {
+        r["vec_id"]: r["embedding"]
+        for r in emb_small.filter(F.col("vec_id") < n_dq).collect()
+    }
+    dq_vecs = {f"dq{i}": [float(x) for x in qvec_rows[i]] for i in range(n_dq)}
+    wq = Window.partitionBy("q_id").orderBy(F.xxhash64("q_id", "vec_id"))
+    cand = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(qmap.select("q_id")))
+        .withColumn("rank", F.row_number().over(wq))
+        .withColumn("score", F.lit(30.0) * F.exp(-F.col("rank") / F.lit(100.0)))
+        .select("q_id", F.col("vec_id").cast("string").alias("id"), "score")
+        .localCheckpoint(eager=True)
+    )
+    n_cand = cand.count()
+
+    qvecs_df = spark.createDataFrame(
+        [(q, v) for q, v in dq_vecs.items()], "q_id string, q_vector array<float>"
+    )
+    t0 = time.perf_counter()
+    dense = (
+        cand.join(emb, cand.id == emb.vec_id.cast("string"))
+        .join(F.broadcast(qvecs_df), "q_id")
+        .withColumn("ff", dot_expr("q_vector", "embedding"))
+        .withColumn("int_s", 0.9 * F.col("score") + 0.1 * F.col("ff"))
+    )
+    wtop = Window.partitionBy("q_id").orderBy(F.desc("int_s"), F.asc("id"))
+    (
+        dense.withColumn("r", F.row_number().over(wtop))
+        .filter(F.col("r") <= 10)
+        .write.format("noop").mode("overwrite").save()
+    )
+    deep["interpolate_deep"] = round(time.perf_counter() - t0, 3)
+
+    idx_df = emb.select(
+        F.col("vec_id").alias("vec_idx"),
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("vec_id").cast("string").alias("psg_id"),
+        F.col("embedding").alias("vector"),
+    )
+    vindex = VectorIndex(idx_df, mode=Mode.MAXP)
+    t0 = time.perf_counter()
+    es_out = early_stopping_scores(
+        Ranking(cand), vindex, cutoff=10, alpha=0.9,
+        depths=(200, n_cand // n_dq), query_vectors=dq_vecs, mode=Mode.MAXP,
+        driver_threshold=0,  # force the distributed batch strategy
+    )
+    es_out.df.write.format("noop").mode("overwrite").save()
+    deep["early_stopping_deep"] = round(time.perf_counter() - t0, 3)
+
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +194,7 @@ def main() -> None:
                     ],
                     3,
                 ),
+                "deep_rerank": deep,
                 "cores": CPUS,
             }
         )

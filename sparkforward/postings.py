@@ -221,9 +221,32 @@ class PostingIndex:
 
     def __init__(self, postings: DataFrame, terms: DataFrame, stats: dict, path: str | None = None):
         self.postings = postings
-        self.terms = terms  # (term, df, idf)
+        self.terms = terms  # (term, df, idf, n_shards)
         self.stats = stats  # {n_docs, avgdl, k1, b, block_size}
         self.path = path
+        self._term_meta: dict[str, tuple[float, int]] = {}
+
+    def term_meta(self, terms: list[str]) -> dict[str, tuple[float, int]]:
+        """term -> (idf, n_shards) for the given terms — the serving-side
+        dictionary lookup. Point-queries the terms table (In-filter
+        pushdown) and memoizes per term, so repeated queries over a served
+        index skip the lookup job entirely; the driver-side cache grows
+        with DISTINCT QUERIED terms (bounded by workload, not vocabulary).
+        """
+        missing = [t for t in terms if t not in self._term_meta]
+        if missing:
+            tdf = self.terms
+            if "n_shards" not in tdf.columns:  # pre-round-2 index layout
+                tdf = tdf.withColumn("n_shards", F.lit(1))
+            for r in (
+                tdf.filter(F.col("term").isin(missing))
+                .select("term", "idf", "n_shards")
+                .collect()
+            ):
+                self._term_meta[r["term"]] = (float(r["idf"]), int(r["n_shards"]))
+            for t in missing:  # absent from the dictionary: pin the miss too
+                self._term_meta.setdefault(t, (0.0, 0))
+        return {t: self._term_meta[t] for t in terms}
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PostingIndex":

@@ -392,17 +392,11 @@ def wand_topk(
     # of three separate joins — two fewer stages per serve call.
     qt_rows = query_terms(queries).collect()
     term_list = sorted({r["term"] for r in qt_rows})
-    tmeta = index.terms
-    if "n_shards" not in tmeta.columns:  # pre-round-2 index layout
-        tmeta = tmeta.withColumn("n_shards", F.lit(1))
     postings = index.postings
-    if "n_shards" not in postings.columns:
+    if "n_shards" not in postings.columns:  # pre-round-2 index layout
         postings = postings.withColumn("n_shards", F.lit(1))
     meta = {
-        r["term"]: (float(r["idf"]), int(r["n_shards"]))
-        for r in tmeta.filter(F.col("term").isin(term_list))
-        .select("term", "idf", "n_shards")
-        .collect()
+        t: m for t, m in index.term_meta(term_list).items() if m[1] > 0
     }
 
     forced = 1

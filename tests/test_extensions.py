@@ -386,3 +386,29 @@ def test_resume_removes_unmanifested_bucket_data(spark, tmp_path):
         idx2.postings.groupBy("term", "salt").count().filter("count > 1").count()
     )
     assert dup == 0
+
+
+# --------------------------------------------------------------- iceberg #
+def test_iceberg_code_path_degrades_explicitly(spark):
+    """No Iceberg jars in this container: the feature probe must say so,
+    writers must fail with the actionable error (not a raw py4j trace), and
+    the DDL/conf mapping must be well-formed."""
+    import pytest
+
+    from sparkforward import iceberg as ib
+
+    assert ib.iceberg_available(spark) is False
+    df = spark.range(3).selectExpr("id AS term")
+    with pytest.raises(ib.IcebergUnavailable, match="spark-submit --packages"):
+        ib.write_iceberg(df, "sfwd.idx.postings")
+
+    conf = ib.iceberg_session_conf(catalog="c1", warehouse="/tmp/w")
+    assert conf["spark.sql.catalog.c1"] == "org.apache.iceberg.spark.SparkCatalog"
+    ddl = ib.posting_tables_ddl(term_buckets=128)
+    assert "PARTITIONED BY (bucket(128, term))" in ddl["postings"]
+    assert set(ddl) == {"postings", "terms", "pages", "vectors"}
+    # schema parity with the Parquet layout
+    from sparkforward.postings import POSTING_SCHEMA
+
+    for f in POSTING_SCHEMA.fields:
+        assert f.name in ddl["postings"], f.name
