@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # native inverted-index / BM25 first stage (SURVEY §2.8, north rule)
         "bm25_topk": q.q_bm25_topk,
         "bm25_wand_topk": q.q_bm25_wand_topk,
+        "interpolate_from_wand": q.q_interpolate_from_wand,
         # ranking algebra (SURVEY §2.1)
         "rank_cut": q.q_rank_cut,
         "minmax_normalize": q.q_minmax_normalize,
@@ -111,6 +112,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": q.sql_bm25_topk(),
         "bm25_wand_topk": q.sql_bm25_topk(),  # WAND must equal exhaustive BM25
+        # WAND top-100 is rank-identical to BM25 top-100, so the composed
+        # pipeline shares the exhaustive interpolation oracle
+        "interpolate_from_wand": q.sql_interpolate_rerank(),
         "rank_cut": q.sql_rank_cut(),
         "minmax_normalize": q.sql_minmax_normalize(),
         "interpolate_rerank": q.sql_interpolate_rerank(),

@@ -235,6 +235,44 @@ def q_bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(index, queries_df(spark), k=K_FINAL)
 
 
+def q_interpolate_from_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL north-star pipeline in one query: compressed-postings
+    block-max WAND first stage (top-100) -> Fast-Forward dense gather ->
+    alpha-interpolated top-10. Because WAND is rank-identical to exhaustive
+    BM25 (its own oracle gate), this entry shares interpolate_rerank's SQL
+    oracle — hash-matching it proves the two engines compose end-to-end.
+    """
+    import tempfile
+
+    from sparkforward.postings import build_inverted_index
+    from sparkforward.wand import wand_topk
+
+    docs = load_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sfwd_idx_e2e_")
+    index = build_inverted_index(
+        docs, path, salt_threshold=100, n_salt=4, num_partitions=8
+    )
+    cand = wand_topk(index, queries_df(spark), k=K_CAND).select(
+        "q_id", F.col("id").cast("bigint").alias("doc_id"), "score"
+    )
+    dense = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id"))
+    final = cand.join(dense, ["q_id", "doc_id"]).withColumn(
+        "score_int",
+        F.round(
+            F.lit(ALPHA) * F.col("score") + F.lit(1.0 - ALPHA) * F.col("dense"),
+            SCORE_DECIMALS,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score_int"), F.asc("doc_id"))
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K_FINAL)
+        .select(
+            "q_id", F.col("doc_id").cast("string").alias("id"), "rank", "score_int"
+        )
+    )
+
+
 def q_rank_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking.cut(k) (ref ranking.py:279-291) applied to the BM25 run."""
     r = _bm25_ranked(spark, sf_dir)

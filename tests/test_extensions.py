@@ -412,3 +412,98 @@ def test_iceberg_code_path_degrades_explicitly(spark):
 
     for f in POSTING_SCHEMA.fields:
         assert f.name in ddl["postings"], f.name
+
+
+# ------------------------------------- transformer encoders (E3-E6) #
+def test_transformer_encoder_pooling_semantics():
+    """Each encoder's input preparation + pooling must match the reference
+    formulas (encoder/transformer.py) — verified with an injected fake
+    backend; the torch forward pass is the only part not exercised."""
+    import numpy as np
+
+    from sparkforward.transformer_encoders import (
+        BGEEncoder,
+        ContrieverEncoder,
+        TCTColBERTDocumentEncoder,
+        TCTColBERTQueryEncoder,
+        TransformerEncoder,
+    )
+
+    rng = np.random.default_rng(7)
+    B, T, H = 2, 8, 4
+    hidden = rng.standard_normal((B, T, H))
+    mask = np.array([[1] * 8, [1] * 5 + [0] * 3])
+    seen = {}
+
+    def backend(texts, call_args):
+        seen["texts"] = list(texts)
+        seen["call_args"] = dict(call_args)
+        return hidden, mask
+
+    # CLS pooling (base + TAS-B behavior)
+    out = TransformerEncoder(backend=backend)(["a", "b"])
+    assert np.allclose(out, hidden[:, 0], atol=1e-6)
+    assert seen["texts"] == ["a", "b"]
+
+    # TCT-ColBERT query: [CLS] [Q] + 36 masks; mean over tokens 4:
+    out = TCTColBERTQueryEncoder(backend=backend)(["hello"])
+    assert seen["texts"] == ["[CLS] [Q] hello" + "[MASK]" * 36]
+    assert seen["call_args"]["add_special_tokens"] is False
+    assert seen["call_args"]["max_length"] == 36
+    assert np.allclose(out, hidden[:, 4:, :].mean(axis=1), atol=1e-6)
+
+    # TCT-ColBERT doc: [CLS] [D]; attention-masked mean over tokens 4:
+    out = TCTColBERTDocumentEncoder(backend=backend)(["doc text"])
+    assert seen["texts"] == ["[CLS] [D] doc text"]
+    tok = hidden[:, 4:, :]
+    m = mask[:, 4:, None].astype(float)
+    want = (tok * m).sum(axis=1) / np.clip(m.sum(axis=1), 1e-9, None)
+    assert np.allclose(out, want, atol=1e-6)
+
+    # Contriever: masked mean over ALL tokens
+    out = ContrieverEncoder(backend=backend)(["x", "y"])
+    tok = np.where(mask[:, :, None].astype(bool), hidden, 0.0)
+    want = tok.sum(axis=1) / mask.sum(axis=1)[:, None]
+    assert np.allclose(out, want, atol=1e-6)
+
+    # BGE: CLS + L2-normalized
+    out = BGEEncoder(backend=backend)(["x", "y"])
+    want = hidden[:, 0] / np.linalg.norm(hidden[:, 0], axis=1, keepdims=True)
+    assert np.allclose(out, want, atol=1e-6)
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def test_transformer_encoder_needs_backend_without_torch():
+    """No torch in this container: the default HF backend must fail with an
+    actionable ImportError, not a bare ModuleNotFoundError mid-encode."""
+    import pytest
+
+    from sparkforward.transformer_encoders import TransformerEncoder
+
+    with pytest.raises(ImportError, match="backend"):
+        TransformerEncoder(model="some/model")
+
+
+def test_transformer_encoder_in_encode_df(spark):
+    """E3-style encoder runs distributed through encode_df with the
+    per-task factory (fake backend stands in for the forward pass)."""
+    import numpy as np
+
+    from sparkforward.encoders import encode_df
+    from sparkforward.transformer_encoders import TCTColBERTQueryEncoder
+
+    def make_encoder():
+        def backend(texts, call_args):
+            B = len(texts)
+            # deterministic per-text "hidden states" (hash of text length)
+            h = np.stack(
+                [np.full((40, 8), (len(t) % 7) + 1.0) for t in texts]
+            )
+            return h, np.ones((B, 40), dtype=np.int64)
+
+        return TCTColBERTQueryEncoder(backend=backend)
+
+    df = spark.createDataFrame([(f"q{'x' * i}",) for i in range(20)], "query string")
+    out = encode_df(df, encoder_factory=make_encoder, out_col="vector").toPandas()
+    assert len(out) == 20
+    assert all(len(v) == 8 for v in out["vector"])
