@@ -39,7 +39,6 @@ from pyspark.sql import types as T
 
 from sparkforward.bm25 import B, K1, SCORE_DECIMALS
 from sparkforward.postings import PostingIndex, varbyte_decode
-from sparkforward.tokenize import query_terms
 
 #: sentinel "no more docs in this shard" for shallow_bound's block-last slot
 _NO_DOC = 2**62
@@ -383,14 +382,24 @@ def wand_topk(
     kk = int(k)
     spark = queries.sparkSession
 
-    # The query-term set is tiny and known before the scan — collect it, look
-    # the terms up in the dictionary (a point query on the vocab-sized terms
+    # The query set is tiny and known before the scan — collect it, tokenize
+    # driver-side with the canonical rule (identical semantics to the JVM
+    # split; one job fewer than exploding + dropDuplicates in Spark), look
+    # the terms up in the dictionary (a memoized point query on the terms
     # table), and push an In(term, ...) predicate INTO the parquet scan so
     # row-group min/max pruning on the term-sorted postings skips everything
     # else (a broadcast join alone would still read every row group). idf and
     # per-query parallelism then travel as ONE broadcast side table instead
     # of three separate joins — two fewer stages per serve call.
-    qt_rows = query_terms(queries).collect()
+    from sparkforward.tokenize import tokenize
+
+    qt_rows = []
+    for r in queries.select("q_id", "query").collect():
+        seen = set()
+        for t in tokenize(r["query"] or ""):
+            if t not in seen:
+                seen.add(t)
+                qt_rows.append({"q_id": r["q_id"], "term": t})
     term_list = sorted({r["term"] for r in qt_rows})
     postings = index.postings
     if "n_shards" not in postings.columns:  # pre-round-2 index layout
@@ -444,7 +453,9 @@ def wand_topk(
         serve, schema=_SHARD_SCHEMA
     )
     # global top-k over doc-disjoint shard winners (exact: every global
-    # top-k doc ranks <= k inside its own shard)
+    # top-k doc ranks <= k inside its own shard); the window input is
+    # <= |q| x n_serve x k rows — tiny (a driver-side merge was A/B'd and
+    # showed no win over this)
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc(F.col("id").cast("bigint")), F.asc("id")
     )
