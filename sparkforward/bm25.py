@@ -125,10 +125,24 @@ def bm25_scores(
     Summation per (q, d) uses float64; determinism across partitionings is
     guaranteed at SCORE_DECIMALS granularity (see module docstring).
     """
+    from sparkforward.tokenize import doc_lengths
+
     tf = _tf_persisted(docs, id_col, text_col)
-    df_stats, global_stats = corpus_stats(tf)
     qt = query_terms(queries)
-    contribs = score_terms(tf, df_stats, global_stats, qt)
+    # Prune tf to QUERY terms before any statistics shuffle: df is only
+    # needed for terms that can contribute, so the groupBy('term') input is
+    # |matched postings| instead of |all postings|, and the broadcast df
+    # table is query-terms-sized instead of vocabulary-sized — at web scale
+    # the difference between broadcasting kilobytes and gigabytes.
+    # (N and avgdl still come from the FULL corpus, as the formula demands.)
+    term_list = [r["term"] for r in qt.select("term").distinct().collect()]
+    tf_q = tf.filter(F.col("term").isin(term_list))
+    df_stats = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    global_stats = doc_lengths(tf).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    contribs = score_terms(tf_q, df_stats, global_stats, qt)
     return contribs.groupBy("q_id", "doc_id").agg(F.sum("contrib").alias("score"))
 
 
