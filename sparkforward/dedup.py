@@ -368,10 +368,19 @@ def embedding_near_duplicates_lsh(
         emb.select(id_col, vec_col), dim, n_bits=n_bits, num_tables=num_tables,
         vec_col=vec_col,
     )
+    # multi-probe: pair (a, b) is a candidate when their table-t buckets
+    # differ in AT MOST one bit — implemented as an equi-join after
+    # exploding ONE side's bucket by {0} U single-bit flips (xor symmetry
+    # makes one-sided probing sufficient); recall rises sharply at the same
+    # table count, with only a (n_bits+1)-fold blowup of one join side.
+    flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_bits)])
     pairs = None
     for t in range(num_tables):
         a = bucketed.select(
-            F.col(id_col).alias("id_a"), F.col(f"bucket_{t}").alias("_bk")
+            F.col(id_col).alias("id_a"),
+            F.explode(
+                F.transform(flips, lambda m: F.col(f"bucket_{t}").bitwiseXOR(m))
+            ).alias("_bk"),
         )
         b = bucketed.select(
             F.col(id_col).alias("id_b"), F.col(f"bucket_{t}").alias("_bk")

@@ -665,7 +665,10 @@ def sql_dedup_embedding_lsh() -> str:
 
     exprs = bucket_sql_exprs(LSH_DIM, LSH_BITS, LSH_TABLES)
     buckets = ", ".join(f"{e} AS bucket_{t}" for t, e in enumerate(exprs))
-    match = " OR ".join(f"a.bucket_{t} = b.bucket_{t}" for t in range(LSH_TABLES))
+    flips = ", ".join(str(m) for m in [0] + [1 << p for p in range(LSH_BITS)])
+    match = " OR ".join(
+        f"xor(a.bucket_{t}, b.bucket_{t}) IN ({flips})" for t in range(LSH_TABLES)
+    )
     cos = (
         "list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])"
         " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))"
@@ -707,7 +710,12 @@ def sql_similarity_lsh_topk() -> str:
     q_exprs = bucket_sql_exprs(LSH_DIM, LSH_BITS, LSH_TABLES, vec_expr="qe::DOUBLE[]")
     e_buckets = ", ".join(f"{e} AS bucket_{t}" for t, e in enumerate(e_exprs))
     q_buckets = ", ".join(f"{e} AS bucket_{t}" for t, e in enumerate(q_exprs))
-    match = " OR ".join(f"e.bucket_{t} = q.bucket_{t}" for t in range(LSH_TABLES))
+    # multi-probe parity: a corpus bucket matches iff it equals the query
+    # bucket or differs in exactly one bit — xor(a,b) IN {0, 1, 2, 4, ...}
+    flips = ", ".join(str(m) for m in [0] + [1 << p for p in range(LSH_BITS)])
+    match = " OR ".join(
+        f"xor(e.bucket_{t}, q.bucket_{t}) IN ({flips})" for t in range(LSH_TABLES)
+    )
     return f"""
 WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
 qv AS (SELECT q_id, embedding AS qe FROM qvec JOIN embeddings ON qvec_id = vec_id),

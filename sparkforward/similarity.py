@@ -176,6 +176,7 @@ def lsh_topk_deterministic(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k over oracle-reproducible LSH buckets.
 
@@ -183,6 +184,12 @@ def lsh_topk_deterministic(
     table — never corpus x queries), but with :func:`deterministic_planes`
     so the DuckDB oracle reproduces the exact candidate set: the driver
     gate can hash-compare the SCALE path, not just the brute-force baseline.
+
+    ``multi_probe``: probe, per table, the query's own bucket plus every
+    single-bit flip of it (the classic multi-probe trick — near-boundary
+    neighbors land one sign-bit away). Query-side cost only: the probe set
+    explodes on the (tiny, broadcast) query side, the corpus stays hashed
+    once, and recall rises sharply at the same table count.
     """
     bucketed = add_deterministic_buckets(
         emb.select(id_col, vec_col), dim, n_bits=n_bits, num_tables=num_tables,
@@ -192,12 +199,22 @@ def lsh_topk_deterministic(
         query_vectors.select("q_id", F.col("q_vector").alias(vec_col)),
         dim, n_bits=n_bits, num_tables=num_tables, vec_col=vec_col,
     ).withColumnRenamed(vec_col, "q_vector")
-
     matches = None
     for t in range(num_tables):
-        m = bucketed.join(
-            F.broadcast(qb.select("q_id", "q_vector", f"bucket_{t}")), f"bucket_{t}"
-        ).select("q_id", "q_vector", id_col, vec_col)
+        probes = qb.select("q_id", "q_vector", f"bucket_{t}")
+        if multi_probe:
+            flips = F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_bits)])
+            probes = probes.withColumn(
+                f"bucket_{t}",
+                F.explode(
+                    F.transform(
+                        flips, lambda m: F.col(f"bucket_{t}").bitwiseXOR(m)
+                    )
+                ),
+            )
+        m = bucketed.join(F.broadcast(probes), f"bucket_{t}").select(
+            "q_id", "q_vector", id_col, vec_col
+        )
         matches = m if matches is None else matches.unionByName(m)
     matches = matches.dropDuplicates(["q_id", id_col])
 

@@ -254,7 +254,7 @@ def test_similarity_lsh_topk_recall(spark):
     assert "CartesianProduct" not in plan
     exact = {(r["q_id"], r["id"]) for r in q.q_similarity_topk(spark, sf).collect()}
     got = {(r["q_id"], r["id"]) for r in lsh_df.collect()}
-    assert len(got & exact) / len(exact) >= 0.4
+    assert len(got & exact) / len(exact) >= 0.8  # multi-probe LSH
 
 
 def test_deterministic_planes_stable():
