@@ -1,0 +1,117 @@
+"""Physical-plan audits: the plans we shipped are the plans we want.
+
+These pin the scale-critical plan properties the round briefs call out —
+pushdown, pruning, broadcast choice, no accidental cross products — so a
+refactor that silently degrades a plan fails CI, not a 100 TB run.
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_no_cross_products_anywhere(spark, entries):
+    """No queries() entry may plan a CartesianProduct or
+    BroadcastNestedLoopJoin — EXCEPT the documented all-pairs oracle
+    baseline (dedup_embedding) and the tiny broadcast cross joins of
+    1-row stats / query-vector tables."""
+    # BroadcastNestedLoopJoin appears legitimately in two shapes: broadcast
+    # cross joins against 1-row aggregates (BM25's global stats, minmax's
+    # extrema) and corpus x tiny-broadcast-query-set scoring (modes,
+    # brute-force similarity); dedup_embedding is the documented all-pairs
+    # baseline. Every SCALE path below must be free of both operators.
+    must_be_free = {
+        "bm25_wand_topk", "interpolate_from_wand",
+        "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+        "dedup_embedding_lsh", "similarity_lsh_topk", "doc_fingerprint",
+        "token_count", "text_quality", "lang_id", "coalesce",
+    }
+    for name, fn in entries.items():
+        plan = _plan(fn(spark, SF))
+        if name != "dedup_embedding":
+            assert "CartesianProduct" not in plan, name
+        if name in must_be_free:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+
+
+def test_bm25_scan_is_pruned(spark):
+    """The corpus scan under BM25 must read only (doc_id, text) — a scan
+    that drags lang/source/n_chars through tokenization is wrong."""
+    from sparkforward import queries as q
+
+    q.release_caches()  # force a fresh, uncached first-stage plan
+    df = q.q_bm25_topk(spark, SF)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln and "documents" in ln]
+    assert scan, "no documents scan found"
+    for ln in scan:
+        assert "lang" not in ln and "source" not in ln, ln
+
+
+def test_wand_gather_pushes_term_filter(spark, docs_index):
+    """The serve-time postings scan must carry the In(term, ...) predicate
+    (row-group pruning on the term-sorted files), not filter post-scan."""
+    from sparkforward.wand import wand_topk
+
+    index, qdf = docs_index
+    plan = _plan(wand_topk(index, qdf, k=5))
+    assert "PushedFilters: [In(term" in plan or "term IN" in plan, plan[:2000]
+
+
+@pytest.fixture(scope="module")
+def docs_index(spark, tmp_path_factory):
+    from sparkforward.postings import build_inverted_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path_factory.mktemp("planidx"))
+    index = build_inverted_index(docs, path, num_partitions=4)
+    qdf = spark.createDataFrame(
+        [("q1", "spark query join")], "q_id string, query string"
+    )
+    return index, qdf
+
+
+def test_interpolate_uses_broadcast_hash_joins(spark):
+    """The flagship candidate gather must be hash/broadcast joins — the
+    query-vector side explicitly broadcast, never shuffled as sort-merge."""
+    from sparkforward import queries as q
+
+    plan = _plan(q.q_interpolate_rerank(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textstats_is_pure_jvm(spark):
+    """token_count/text_quality/lang_id must stay inside whole-stage codegen
+    — no Python evaluation nodes in the hot path."""
+    from sparkforward import queries as q
+
+    for fn in (q.q_token_count, q.q_text_quality, q.q_lang_id):
+        plan = _plan(fn(spark, SF))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan, (fn.__name__, marker)
+        # (WholeStageCodegen wrapping is not visible in the pre-execution
+        # AQE plan string; the no-Python markers above are the real check)
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    """exact_duplicates must partial-aggregate (map-side combine) before
+    the hash shuffle — HashAggregate appears on both sides of the exchange."""
+    from sparkforward import queries as q
+
+    plan = _plan(q.q_dedup_exact(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
