@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkforward.ranking import Ranking
-from sparkforward.tokenize import corpus_stats, query_terms, term_frequencies
+from sparkforward.tokenize import term_frequencies
 
 K1 = 1.2
 B = 0.75
@@ -128,14 +128,29 @@ def bm25_scores(
     from sparkforward.tokenize import doc_lengths
 
     tf = _tf_persisted(docs, id_col, text_col)
-    qt = query_terms(queries)
+    # The query set is tiny: tokenize it driver-side with the canonical rule
+    # (identical semantics to tokenize.query_terms, minus one explode+
+    # dropDuplicates shuffle job per call) and rebuild (q_id, term) as a
+    # local relation for the broadcast join.
+    from sparkforward.tokenize import tokenize
+
+    pairs = []
+    for r in queries.select("q_id", "query").collect():
+        seen = set()
+        for t in tokenize(r["query"] or ""):
+            if t not in seen:
+                seen.add(t)
+                pairs.append((r["q_id"], t))
+    qt = queries.sparkSession.createDataFrame(
+        pairs, "q_id string, term string"
+    )
     # Prune tf to QUERY terms before any statistics shuffle: df is only
     # needed for terms that can contribute, so the groupBy('term') input is
     # |matched postings| instead of |all postings|, and the broadcast df
     # table is query-terms-sized instead of vocabulary-sized — at web scale
     # the difference between broadcasting kilobytes and gigabytes.
     # (N and avgdl still come from the FULL corpus, as the formula demands.)
-    term_list = [r["term"] for r in qt.select("term").distinct().collect()]
+    term_list = sorted({t for _, t in pairs})
     tf_q = tf.filter(F.col("term").isin(term_list))
     df_stats = tf_q.groupBy("term").agg(F.count("*").alias("df"))
     global_stats = doc_lengths(tf).agg(
