@@ -51,8 +51,12 @@ def main() -> None:
     spark = get_spark(app_name="sparkforward-bench", cores=CPUS)
     qs = entrymod.queries()
 
-    # warm the JVM/Python workers so per-query numbers measure the engine
+    # warm the JVM AND the Python/Arrow workers so per-query numbers measure
+    # the engine, not one-time worker spin-up landing on the first query
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, schema="x int"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

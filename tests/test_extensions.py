@@ -507,3 +507,77 @@ def test_transformer_encoder_in_encode_df(spark):
     out = encode_df(df, encoder_factory=make_encoder, out_col="vector").toPandas()
     assert len(out) == 20
     assert all(len(v) == 8 for v in out["vector"])
+
+
+# ---------------------------------------------- spark-submit job scripts #
+def test_spark_submit_build_and_serve_jobs(spark, tmp_path):
+    """The north rule's deployment shape: both job scripts must run under
+    `spark-submit --py-files sparkforward.zip` against a fresh clone-style
+    layout (no repo on PYTHONPATH), build a resumable index, and serve
+    rank-identical top-k."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = str(tmp_path / "sparkforward.zip")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        pkg = os.path.join(repo, "sparkforward")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+
+    corpus = "/root/testdata/sf0.001/documents.parquet"
+    idx_dir = str(tmp_path / "idx")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    base = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", pkg_zip,
+    ]
+    out = subprocess.run(
+        [*base, os.path.join(repo, "tools", "build_index_job.py"),
+         "--input", corpus, "--output", idx_dir, "--num-partitions", "4"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    stats = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert stats["status"] == "ok" and stats["n_docs"] > 0
+
+    qpath = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(
+        [("q1", "spark query join")], "q_id string, query string"
+    ).write.parquet(qpath)
+    run_dir = str(tmp_path / "run")
+    out = subprocess.run(
+        [*base, os.path.join(repo, "tools", "serve_topk_job.py"),
+         "--index", idx_dir, "--queries", qpath, "--output", run_dir, "--k", "5"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+
+    from sparkforward.bm25 import bm25_topk
+
+    served = {
+        (r["q_id"], r["id"], r["rank"])
+        for r in spark.read.parquet(run_dir).collect()
+    }
+    docs = spark.read.parquet(corpus)
+    qdf = spark.createDataFrame([("q1", "spark query join")], "q_id string, query string")
+    expected = {
+        (r["q_id"], r["id"], r["rank"]) for r in bm25_topk(docs, qdf, k=5).collect()
+    }
+    assert served == expected
