@@ -75,15 +75,54 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+#: JPEG start-of-frame markers that carry dimensions (all SOF variants)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+#: PNG color type -> channel count
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _parse_header(payload: bytes) -> tuple[int, int, int]:
-    magic, w, h, c = struct.unpack_from(_HEADER_FMT, bytes(payload))
-    if magic != b"FAKE":
-        # STUB: a real deployment would dispatch to PIL / ffmpeg here.
-        raise NotImplementedError(
-            "Only the deterministic FAKE container is decodable in this "
-            "environment (no image/audio libraries installed)."
-        )
-    return w, h, c
+    """(width, height, channels) from the container header — pure Python.
+
+    Real container formats are parsed from their headers directly (no
+    image library needed for metadata): PNG (IHDR), JPEG (SOF segment
+    scan), GIF (logical screen descriptor), plus the deterministic FAKE
+    test container. Only PIXEL decoding remains stubbed in this
+    environment (no PIL/ffmpeg) — see :func:`decode_media`.
+    """
+    b = bytes(payload)
+    if b[:4] == b"FAKE":
+        _magic, w, h, c = struct.unpack_from(_HEADER_FMT, b)
+        return w, h, c
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26:
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h, _PNG_CHANNELS.get(b[25], 3)
+    if b[:3] == b"\xff\xd8\xff":  # JPEG: scan segments for a SOF marker
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return w, h, b[i + 9]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            i += 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+        raise ValueError("JPEG payload has no SOF segment")
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, 3
+    # STUB: pixel/codec decode for anything else would dispatch to
+    # PIL / ffmpeg — not installed in this environment.
+    raise NotImplementedError(
+        "Unrecognized container: metadata parsing supports FAKE/PNG/JPEG/GIF "
+        "headers; full pixel decode needs PIL/ffmpeg (not installed here)."
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -581,3 +581,44 @@ def test_spark_submit_build_and_serve_jobs(spark, tmp_path):
         (r["q_id"], r["id"], r["rank"]) for r in bm25_topk(docs, qdf, k=5).collect()
     }
     assert served == expected
+
+
+def test_real_container_header_parsing(spark):
+    """PNG/JPEG/GIF metadata parses from real container headers (no image
+    library), distributed through decode_media; unknown containers still
+    raise the documented pixel-decode stub error."""
+    import struct
+
+    import pytest
+
+    from sparkforward.multimodal import _parse_header, decode_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)
+    )
+    assert _parse_header(png) == (640, 480, 4)  # RGBA
+
+    jpeg = (
+        b"\xff\xd8\xff"
+        + b"\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 333, 222) + b"\x03" + b"\x00" * 10  # SOF0
+    )
+    assert _parse_header(jpeg) == (222, 333, 3)
+
+    gif = b"GIF89a" + struct.pack("<HH", 99, 77) + b"\x00\x00\x00"
+    assert _parse_header(gif) == (99, 77, 3)
+
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        _parse_header(b"RIFFxxxxWAVE")
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(jpeg)),
+         (3, "image", bytearray(gif))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: (r["width"], r["height"], r["channels"])
+           for r in decode_media(df).collect()}
+    assert out == {1: (640, 480, 4), 2: (222, 333, 3), 3: (99, 77, 3)}

@@ -323,3 +323,20 @@ def test_doc_sharded_parallel_serving(spark, docs, tmp_path):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(base, served)
+
+
+def test_build_partitioning_invariance(spark, docs, tmp_path):
+    """The served ranking must not depend on input partitioning or shuffle
+    parallelism — build the index at three different layouts and assert
+    identical top-k (the determinism contract at cluster scale)."""
+    serves = []
+    for tag, (parts, nparts) in {
+        "a": (2, 2), "b": (8, 8), "c": (5, 16),
+    }.items():
+        idx = build_inverted_index(
+            docs.repartition(parts), str(tmp_path / tag),
+            salt_threshold=50, n_salt=4, num_partitions=nparts,
+        )
+        serves.append(_serve(spark, idx))
+    pd.testing.assert_frame_equal(serves[0], serves[1])
+    pd.testing.assert_frame_equal(serves[0], serves[2])
