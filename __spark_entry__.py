@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q.q_dedup_embedding,
         "dedup_embedding_lsh": q.q_dedup_embedding_lsh,
         "doc_fingerprint": q.q_doc_fingerprint,
+        # events / streaming analytics (batch mode of the streaming op)
+        "event_window": q.q_event_window,
         # text analysis
         "token_count": q.q_token_count,
         "text_quality": q.q_text_quality,
@@ -131,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": q.sql_dedup_embedding(),
         "dedup_embedding_lsh": q.sql_dedup_embedding_lsh(),
         "doc_fingerprint": q.sql_doc_fingerprint(),
+        "event_window": q.sql_event_window(),
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),
         "lang_id": q.sql_lang_id(),

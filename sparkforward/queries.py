@@ -749,6 +749,28 @@ def sql_doc_fingerprint() -> str:
     return DOC_FINGERPRINT_SQL
 
 
+# ----------------------------------------------------------- events/stream #
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event analytics (streaming.windowed_event_stats on
+    its batch execution mode; the streaming mode with watermark is pinned
+    equal by tests/test_extensions.py)."""
+    from sparkforward.streaming import windowed_event_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_stats(events)
+
+
+def sql_event_window() -> str:
+    return """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ text stats #
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.textstats import token_counts

@@ -74,6 +74,44 @@ def stream_ingest(
     return writer.start()
 
 
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value, sum_k) — tumbling-
+    window analytics over an event stream or batch table.
+
+    One definition serves both execution modes: on a streaming DataFrame a
+    watermark bounds state for late data (windows older than ``watermark``
+    behind the max event time are finalized and dropped from state); on a
+    batch DataFrame the same plan is a plain window aggregation, which is
+    what the DuckDB oracle checks (time_bucket parity). ``sum_k`` pulls a
+    typed field out of the semi-structured JSON ``props`` column JVM-side.
+    """
+    # parquet timestamps arrive as TIMESTAMP_NTZ; watermarks require the
+    # instant type — the session timezone is pinned to UTC (session.py) so
+    # the cast is a no-op re-interpretation, identical in both modes
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "sum_k",
+        )
+    )
+
+
 def compact_streamed_index(
     spark: SparkSession, path: str, **build_kwargs
 ) -> PostingIndex:

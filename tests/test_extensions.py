@@ -622,3 +622,45 @@ def test_real_container_header_parsing(spark):
     out = {r["media_id"]: (r["width"], r["height"], r["channels"])
            for r in decode_media(df).collect()}
     assert out == {1: (640, 480, 4), 2: (222, 333, 3), 3: (99, 77, 3)}
+
+
+def test_windowed_event_stats_stream_equals_batch(spark, tmp_path):
+    """The SAME windowed aggregation definition must produce identical
+    results on the streaming engine (with watermark, complete mode) and the
+    batch engine — the exactly-once windowed-analytics contract."""
+    import pandas as pd
+
+    from sparkforward.streaming import windowed_event_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "ev")
+    events.repartition(4).write.parquet(src_dir)
+
+    batch = (
+        windowed_event_stats(spark.read.parquet(src_dir))
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("evwin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = (
+        spark.sql("SELECT * FROM evwin")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(batch, streamed, check_dtype=False)
