@@ -771,6 +771,38 @@ GROUP BY 1, 2
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the applyInPandasWithState
+    streaming operator — streaming/batch parity pinned in tests)."""
+    from sparkforward.streaming import sessionize_batch
+
+    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def sql_user_sessions() -> str:
+    from sparkforward.streaming import SESSION_GAP_MIN
+
+    gap_s = SESSION_GAP_MIN * 60
+    return f"""
+WITH f AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > {gap_s}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM f
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
 # ------------------------------------------------------------ text stats #
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.textstats import token_counts

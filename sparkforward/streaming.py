@@ -112,6 +112,128 @@ def windowed_event_stats(
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """(user_id, session_no, session_start, session_end, n_events,
+    sum_value) — gap-based sessionization of an event table.
+
+    Declarative batch form: a lag-over-window new-session flag, a running
+    sum for the session ordinal, then one aggregation — all Catalyst, no
+    Python. The streaming twin (:func:`sessionize_stream`) keeps per-user
+    state with ``applyInPandasWithState`` and must emit exactly these rows
+    for sessions the watermark has closed (tested).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    new_s = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        > gap_min * 60,
+        1,
+    ).otherwise(0)
+    sess = src.withColumn("_new", new_s).withColumn(
+        "session_no", F.sum("_new").over(w)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization: per-user state via
+    ``applyInPandasWithState`` (event-time timeout).
+
+    State = the user's open session (start, last event time, count, value
+    sum). Each micro-batch folds its (time-sorted) events into the state,
+    emitting a finished session whenever a gap larger than ``gap_min``
+    appears; the event-time timeout flushes a session once the watermark
+    passes its end + gap, so results converge to the batch twin for every
+    closed session. Session ordinals are not globally known mid-stream, so
+    the streaming output omits ``session_no`` (matched on start/end in
+    tests).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, sv double"  # microseconds
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [round(sv, 6)],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(["ts", "event_id"])
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        vals = batch["value"].astype(float)
+        cur = list(state.get) if state.exists else None
+        done = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 0, 0.0]
+            elif t - cur[1] > gap_us:
+                done.append(cur)
+                cur = [t, t, 0, 0.0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += float(v)
+        state.update(tuple(cur))
+        # flush the open session once the watermark passes end + gap (the
+        # timeout may not be set behind the CURRENT watermark — a session
+        # already closable fires on the very next micro-batch instead)
+        state.setTimeoutTimestamp(
+            max((cur[1] + gap_us) // 1000 + 1, state.getCurrentWatermarkMs() + 1)
+        )
+        if done:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(done),
+                    "session_start": [pd.Timestamp(s[0], unit="us") for s in done],
+                    "session_end": [pd.Timestamp(s[1], unit="us") for s in done],
+                    "n_events": [s[2] for s in done],
+                    "sum_value": [round(s[3], 6) for s in done],
+                }
+            )
+
+    src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def compact_streamed_index(
     spark: SparkSession, path: str, **build_kwargs
 ) -> PostingIndex:

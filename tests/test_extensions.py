@@ -664,3 +664,69 @@ def test_windowed_event_stats_stream_equals_batch(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(batch, streamed, check_dtype=False)
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState sessionizer must emit exactly the batch
+    sessionizer's rows for every session the watermark has closed (and
+    nothing else) — the custom-stateful-operator contract."""
+    import pandas as pd
+
+    from sparkforward.streaming import (
+        SESSION_GAP_MIN,
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    import time as _time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_dir = str(tmp_path / "sess")
+    # a real stream arrives (roughly) in event-time order; random file
+    # order would make the watermark drop almost everything as late —
+    # write time-ordered slices with increasing file mod-times
+    sliced = events.withColumn(
+        "_slice", F.ntile(6).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 7):
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+        _time.sleep(1.1)  # FileStreamSource orders files by mod time
+
+    batch = sessionize_batch(spark.read.parquet(src_dir)).toPandas()
+    max_ts = pd.Timestamp(events.agg({"ts": "max"}).collect()[0][0])
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    q = (
+        sessionize_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("SELECT * FROM sessions").toPandas()
+
+    key = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    got = {tuple(r) for r in streamed[key].itertuples(index=False)}
+    want_all = {tuple(r) for r in batch[key].itertuples(index=False)}
+    # every emitted session must be a real (batch) session
+    assert got <= want_all, got - want_all
+    # every session closed by the final watermark must have been emitted
+    final_wm = max_ts - pd.Timedelta(hours=1)
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    closed = {
+        t for t in want_all if t[2] + gap < final_wm  # session_end + gap < wm
+    }
+    missing = closed - got
+    assert not missing, list(missing)[:3]
+    assert len(got) >= 0.8 * len(want_all)  # most sessions close in fixture
