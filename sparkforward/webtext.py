@@ -105,11 +105,68 @@ def webpages_as_documents(df: DataFrame) -> DataFrame:
     """Adapt the webpage shape to the engine's (doc_id, text) contract.
 
     Integral doc ids (needed by the delta-encoded postings) are recovered
-    from the deterministic url pattern; a general crawl would instead
-    assign ids via a dictionary table (url -> dense id) built once.
+    from the deterministic url pattern; a general crawl instead assigns ids
+    via :func:`build_url_dictionary` (url -> dense id, built once).
     """
     return df.select(
         F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint").alias("doc_id"),
         "text",
         "lang",
+    )
+
+
+def build_url_dictionary(
+    pages: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """(url, doc_id) — deterministic DENSE integer ids for arbitrary urls.
+
+    The scalable dense-id assignment (no single-reducer global window, no
+    nondeterministic monotonically_increasing_id, no hash-collision risk at
+    10^12 rows): range-partition distinct urls by url, rank within each
+    (range-disjoint) partition, and add the exclusive prefix-sum of
+    partition counts — one range shuffle plus a partition-count-sized
+    driver map. doc_id is 0-based, dense, and identical for any input
+    partitioning (ids follow url sort order).
+    """
+    from pyspark.sql import Window
+
+    n = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    urls = (
+        pages.select("url").distinct()
+        .repartitionByRange(n, "url")
+        .withColumn("_p", F.spark_partition_id())
+    ).persist()
+    offsets = {  # partition id -> exclusive prefix count (tiny driver map)
+        r["_p"]: r["cnt"]
+        for r in urls.groupBy("_p").agg(F.count("*").alias("cnt")).collect()
+    }
+    prefix, acc = {}, 0
+    for p in sorted(offsets):
+        prefix[p] = acc
+        acc += offsets[p]
+    off_expr = F.coalesce(
+        *(
+            [F.create_map(*[F.lit(x) for kv in prefix.items() for x in kv])[
+                F.col("_p")
+            ]]
+            if prefix
+            else []
+        ),
+        F.lit(0),
+    )
+    w = Window.partitionBy("_p").orderBy("url")
+    # a dictionary is built ONCE and reused — materialize it (truncating the
+    # lineage) so the scratch `urls` cache can be released immediately
+    out = urls.select(
+        "url",
+        (F.row_number().over(w) - 1 + off_expr).cast("bigint").alias("doc_id"),
+    ).localCheckpoint(eager=True)
+    urls.unpersist()
+    return out
+
+
+def attach_doc_ids(pages: DataFrame, url_dict: DataFrame) -> DataFrame:
+    """Join pages to the id dictionary -> engine-ready (doc_id, text, ...)."""
+    return pages.join(url_dict, "url").select(
+        "doc_id", "text", *(c for c in ("lang",) if c in pages.columns)
     )

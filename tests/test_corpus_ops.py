@@ -295,3 +295,29 @@ def test_build_index_firstp_reproducible(spark):
         out = ff_score(ranking, idx, encoder=LambdaEncoder(lambda _: np.ones(4, dtype=np.float32)), mode=Mode.FIRSTP)
         results.append(out["q1"])
     assert results[0] == results[1]
+
+
+def test_url_dictionary_dense_and_deterministic(spark):
+    """build_url_dictionary: dense 0..n-1 ids, identical across input
+    partitionings, ordered by url — the general-crawl id assignment."""
+    from sparkforward.webtext import (
+        attach_doc_ids,
+        build_url_dictionary,
+        synthesize_webpages,
+    )
+
+    pages = synthesize_webpages(spark, 500, num_partitions=7)
+    d1 = build_url_dictionary(pages, num_partitions=5).toPandas()
+    d2 = build_url_dictionary(pages.repartition(3), num_partitions=2).toPandas()
+    n = len(d1)
+    assert n == 500
+    assert sorted(d1["doc_id"]) == list(range(n))  # dense, 0-based
+    m1 = dict(zip(d1["url"], d1["doc_id"]))
+    m2 = dict(zip(d2["url"], d2["doc_id"]))
+    assert m1 == m2  # partitioning-invariant
+    ordered = d1.sort_values("url")["doc_id"].tolist()
+    assert ordered == sorted(ordered)  # ids follow url sort order
+
+    docs = attach_doc_ids(pages, build_url_dictionary(pages))
+    assert docs.count() == 500
+    assert set(docs.columns) == {"doc_id", "text", "lang"}
