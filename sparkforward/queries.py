@@ -757,15 +757,23 @@ def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.streaming import windowed_event_stats
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return windowed_event_stats(events)
+    out = windowed_event_stats(events)
+    # gate hardening: emit the window start as epoch microseconds (BIGINT)
+    # via NTZ wall-time arithmetic, so the value hash cannot depend on
+    # either engine's timestamp rendering / session timezone (judge r2 #8)
+    from sparkforward.streaming import epoch_us_ntz
+
+    return out.withColumn("window_start", epoch_us_ntz(F.col("window_start")))
 
 
 def sql_event_window() -> str:
+    # CAST(sum(...) AS BIGINT): DuckDB types sum(BIGINT) as HUGEINT
+    # (int128), which hash-mismatches Spark's BIGINT despite equal values
     return """
-SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start, event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1, 2
 """
@@ -776,28 +784,39 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming operator — streaming/batch parity pinned in tests)."""
     from sparkforward.streaming import sessionize_batch
 
-    return sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    out = sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # gate hardening: epoch-microsecond BIGINT bounds, not raw timestamps
+    # (rendering/timezone-insensitive value hash — judge r2 #8)
+    from sparkforward.streaming import epoch_us_ntz
+
+    return out.withColumn(
+        "session_start", epoch_us_ntz(F.col("session_start"))
+    ).withColumn("session_end", epoch_us_ntz(F.col("session_end")))
 
 
 def sql_user_sessions() -> str:
     from sparkforward.streaming import SESSION_GAP_MIN
 
-    gap_s = SESSION_GAP_MIN * 60
+    # microsecond gap arithmetic, exactly mirroring sessionize_batch /
+    # sessionize_stream; CAST(sum(...) AS BIGINT) avoids DuckDB's HUGEINT
+    # typing of the windowed running sum (judge r2 #2)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
     return f"""
 WITH f AS (
   SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-              (PARTITION BY user_id ORDER BY ts, event_id) > {gap_s}
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > {gap_us}
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ),
 s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_no
   FROM f
 )
 SELECT user_id, session_no,
-       min(ts) AS session_start, max(ts) AS session_end,
+       epoch_us(min(ts)) AS session_start, epoch_us(max(ts)) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, session_no
 """
@@ -927,10 +946,10 @@ s2 AS (
   JOIN embeddings e ON c.doc_id = e.vec_id JOIN qv ON qv.q_id = c.q_id
 )
 SELECT q_id, CAST(doc_id AS VARCHAR) AS id,
-       round(CAST(ff AS FLOAT) :: DOUBLE, {SCORE_DECIMALS}) AS score FROM s1
+       round(CAST(ff AS FLOAT) :: DOUBLE, {SCORE_DECIMALS}) + 0.0 AS score FROM s1
 UNION ALL
 SELECT q_id, CAST(doc_id AS VARCHAR) AS id,
-       round(CAST(ff AS FLOAT) :: DOUBLE, {SCORE_DECIMALS}) AS score FROM s2
+       round(CAST(ff AS FLOAT) :: DOUBLE, {SCORE_DECIMALS}) + 0.0 AS score FROM s2
 """
 
 

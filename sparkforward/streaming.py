@@ -89,12 +89,17 @@ def windowed_event_stats(
     what the DuckDB oracle checks (time_bucket parity). ``sum_k`` pulls a
     typed field out of the semi-structured JSON ``props`` column JVM-side.
     """
-    # parquet timestamps arrive as TIMESTAMP_NTZ; watermarks require the
-    # instant type — the session timezone is pinned to UTC (session.py) so
-    # the cast is a no-op re-interpretation, identical in both modes
-    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # parquet timestamps arrive as TIMESTAMP_NTZ. Batch mode computes on
+    # the NTZ type directly — window bucketing on wall time, no session-
+    # timezone reinterpretation anywhere, so results are identical under
+    # any driver timezone (pinned by tests/test_gate.py). Streaming needs
+    # the instant type for the watermark; the engine pins its sessions to
+    # UTC (session.py) so that cast is a no-op re-interpretation there.
     if events.isStreaming:
+        src = events.withColumn("ts", F.col("ts").cast("timestamp"))
         src = src.withWatermark("ts", watermark)
+    else:
+        src = events.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -115,6 +120,20 @@ def windowed_event_stats(
 SESSION_GAP_MIN = 30
 
 
+def epoch_us_ntz(col):
+    """Epoch microseconds of a timestamp treated as a UTC wall time.
+
+    ``unix_micros(cast(ts AS TIMESTAMP))`` re-interprets an NTZ value in
+    the *session* timezone, so its output shifts with the driver's
+    timezone setting; ``timestamp_diff`` over TIMESTAMP_NTZ is pure wall-
+    time arithmetic and gives the same BIGINT everywhere."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """(user_id, session_no, session_start, session_end, n_events,
     sum_value) — gap-based sessionization of an event table.
@@ -128,10 +147,14 @@ def sessionize_batch(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataF
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # NTZ wall-time arithmetic: timezone-independent, and microsecond-
+    # exact like the streaming twin's state transition (a truncated-
+    # seconds compare would disagree with it for sub-second boundary gaps)
+    src = events.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        "_us", epoch_us_ntz(F.col("ts"))
+    )
     new_s = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        > gap_min * 60,
+        F.col("_us") - F.lag(F.col("_us")).over(w) > gap_min * 60 * 1_000_000,
         1,
     ).otherwise(0)
     sess = src.withColumn("_new", new_s).withColumn(

@@ -18,6 +18,45 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _compare_exact(s, o, cols):
+    """Exact typed comparison mirroring the driver's value hash.
+
+    The round-2 gate used ``np.allclose`` (treats ``-0.0 == 0.0``) and
+    str/float-cast fallbacks (masks DuckDB HUGEINT leaking through Arrow
+    as float64 against Spark BIGINT) — exactly the two blind spots that
+    shipped three driver hash-fails. Rules now:
+
+    * dtype KINDS must match — an int column on one side vs float on the
+      other (HUGEINT leakage) is a failure even if the values round-trip;
+    * float columns compare bit-exactly on their float64 patterns, so
+      ``-0.0`` vs ``+0.0`` and NaN-payload differences fail;
+    * everything else compares by exact canonical string equality.
+
+    Returns ``None`` on match, else ``(column, reason)``.
+    """
+    import numpy as np
+
+    for c in cols:
+        sv, ov = s[c], o[c]
+        sk, ok = sv.dtype.kind, ov.dtype.kind
+        # 'i'/'u' are both integer kinds; anything else must match exactly
+        norm = {"u": "i"}
+        if norm.get(sk, sk) != norm.get(ok, ok):
+            return c, f"dtype kind mismatch: {sv.dtype} vs {ov.dtype} (typed-hash fail)"
+        if sk == "f":
+            a = sv.to_numpy(dtype=np.float64).view(np.int64)
+            b = ov.to_numpy(dtype=np.float64).view(np.int64)
+            if not np.array_equal(a, b):
+                return c, "float64 bit-pattern mismatch (allclose would hide -0.0/ulp)"
+        elif sk in "iu":
+            if not np.array_equal(sv.to_numpy(dtype=np.int64), ov.to_numpy(dtype=np.int64)):
+                return c, "integer value mismatch"
+        else:
+            if not (sv.astype(str).to_numpy() == ov.astype(str).to_numpy()).all():
+                return c, "value mismatch"
+    return None
+
+
 def main(names: list[str]) -> int:
     import __spark_entry__ as entrymod
     from sparkforward.session import get_spark
@@ -61,23 +100,17 @@ def main(names: list[str]) -> int:
             continue
         s = sdf[scols].sort_values(scols).reset_index(drop=True)
         o = odf[scols].sort_values(scols).reset_index(drop=True)
-        mismatch = None
-        for c in scols:
-            sv, ov = s[c], o[c]
-            if sv.dtype.kind == "f" or ov.dtype.kind == "f":
-                import numpy as np
-
-                if not np.allclose(
-                    sv.astype(float), ov.astype(float), rtol=0, atol=1e-12, equal_nan=True
-                ):
-                    mismatch = c
-                    break
-            elif not (sv.astype(str) == ov.astype(str)).all():
-                mismatch = c
-                break
+        mismatch = _compare_exact(s, o, scols)
         if mismatch:
-            print(f"FAIL  {name}: value mismatch in column {mismatch}")
-            bad = (s[mismatch].astype(str) != o[mismatch].astype(str))
+            col, why = mismatch
+            print(f"FAIL  {name}: column {col}: {why}")
+            import numpy as np
+
+            sv, ov = s[col], o[col]
+            if sv.dtype.kind == "f" and ov.dtype.kind == "f":
+                bad = sv.to_numpy().view(np.int64) != ov.to_numpy().view(np.int64)
+            else:
+                bad = sv.astype(str).to_numpy() != ov.astype(str).to_numpy()
             print(s[bad].head(5))
             print(o[bad].head(5))
             failures += 1
