@@ -80,38 +80,40 @@ def score_terms(
     )
 
 
-#: session-scoped tokenize-pass cache: (session id, corpus plan hash, cols)
+#: session-scoped tokenize-pass cache: (session, corpus plan hash, cols)
 #: -> persisted tf DataFrame. Two purposes: (a) within one query, tf feeds
 #: three subtrees (scores, df-stats, N/avgdl) and Catalyst does NOT dedupe
 #: identical subplans — persist gives one tokenize pass, not three (verified
 #: via .explain); (b) across queries over the same corpus, reusing the one
 #: persisted DF instead of re-persisting an identical plan avoids both a
 #: redundant corpus scan and the CacheManager "already cached" leak the
-#: round-1 audit flagged (bm25.py:97). Release with :func:`release_caches`.
-_TF_CACHE: dict[tuple, DataFrame] = {}
+#: round-1 audit flagged (bm25.py:97). Entries auto-expire when their
+#: session stops (SessionScopedCache sweeps on every access); an explicit
+#: :func:`release_caches` remains for within-session corpus rotation.
+from sparkforward.session import SessionScopedCache  # noqa: E402
+
+_TF_CACHE = SessionScopedCache()
 
 
 def _tf_persisted(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    sess = docs.sparkSession
     try:
-        key = (id(docs.sparkSession), docs.semanticHash(), id_col, text_col)
+        key = (docs.semanticHash(), id_col, text_col)
     except Exception:  # noqa: BLE001 — hashing unsupported: fall back, uncached
         key = None
-    if key is not None and key in _TF_CACHE:
-        return _TF_CACHE[key]
+    if key is not None:
+        hit = _TF_CACHE.get(sess, key)
+        if hit is not None:
+            return hit
     tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
     if key is not None:
-        _TF_CACHE[key] = tf
+        _TF_CACHE.put(sess, key, tf)
     return tf
 
 
 def release_caches() -> None:
     """Unpersist every cached tokenize pass (long-lived session hygiene)."""
-    for df in _TF_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
-    _TF_CACHE.clear()
+    _TF_CACHE.release()
 
 
 def bm25_scores(

@@ -90,18 +90,33 @@ def _verify_jaccard(
     )
 
 
+def minhash_signature_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sigs: array<string>[NUM_HASHES]) — map-side MinHash.
+
+    Each signature component is ``array_min(transform(terms, t ->
+    md5(h || ':' || t)))`` over the doc's distinct-token array — pure JVM
+    narrow projection, so signatures exist BEFORE any Exchange (round 2
+    shipped an explode(tokens x NUM_HASHES) -> groupBy(doc_id, h) shape
+    that shuffled 8x the token volume; pinned by tests/test_plans.py)."""
+    arrays = _token_set_arrays(docs, text_col)
+
+    def _mh(h: int):
+        # one-arg lambda factory: a two-parameter lambda would be read by
+        # F.transform as (element, index) and clobber the hash-id binding
+        return lambda t: F.md5(F.concat(F.lit(f"{h}:"), t))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("terms"), _mh(h))) for h in range(NUM_HASHES)]
+    )
+    return arrays.select("doc_id", sig.alias("sigs"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, h, mh) — MinHash signature rows, md5-based (oracle-matching)."""
-    tokset = _token_sets(docs, text_col)
-    hseq = F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("h")
-    return (
-        tokset.select("doc_id", "term", hseq)
-        .withColumn(
-            "mh",
-            F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("term"))),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("mh").alias("mh"))
+    """(doc_id, h, mh) — MinHash signature rows, md5-based (oracle-matching).
+
+    Row view of :func:`minhash_signature_arrays`; still shuffle-free."""
+    return minhash_signature_arrays(docs, text_col).select(
+        "doc_id", F.posexplode("sigs").alias("h", "mh")
     )
 
 
@@ -110,22 +125,32 @@ def minhash_near_duplicates(
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — LSH candidates verified by exact Jaccard."""
-    sig = minhash_signatures(docs, text_col)
-    bands = (
-        sig.withColumn("band", (F.col("h") / ROWS_PER_BAND).cast("bigint"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("h", "mh"))),
-                        lambda s: s["mh"],
-                    ),
-                )
-            ).alias("band_key")
-        )
+    """(doc_a, doc_b, jaccard) — LSH candidates verified by exact Jaccard.
+
+    Band keys are computed map-side from the signature array (md5 of the
+    band's components in h order, identical to the oracle's
+    ``string_agg(mh ORDER BY h)``); the only shuffles in the whole
+    operator are the bucket self-join and the final distinct."""
+    sig = minhash_signature_arrays(docs, text_col)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sigs")[b * ROWS_PER_BAND + r]
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_entries).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key")
     )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"

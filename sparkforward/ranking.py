@@ -125,6 +125,18 @@ class Ranking:
         """Distinct query IDs (driver collect — API edge only)."""
         return {r["q_id"] for r in self._df.select("q_id").distinct().collect()}
 
+    def release(self) -> None:
+        """Free any executor storage this ranking owns (e.g. the batch
+        early-stopping result checkpoint, whose storage a plain
+        ``DataFrame.unpersist()`` cannot reach). Idempotent; after release
+        the DataFrame is no longer guaranteed consumable."""
+        ids = getattr(self, "_owned_rdd_ids", None)
+        if ids:
+            from sparkforward.score import _release_persistent_rdds
+
+            _release_persistent_rdds(self._df.sparkSession, set(ids))
+            self._owned_rdd_ids = set()
+
     def _attach_queries(self, queries: DataFrame | Mapping[str, str]) -> DataFrame:
         """Broadcast-join queries; raise if incomplete. Ref: ranking.py:16-28."""
         df = self._df.drop("query") if "query" in self._df.columns else self._df

@@ -402,15 +402,35 @@ def wand_topk(
                 qt_rows.append({"q_id": r["q_id"], "term": t})
     term_list = sorted({r["term"] for r in qt_rows})
     postings = index.postings
-    if "n_shards" not in postings.columns:  # pre-round-2 index layout
-        postings = postings.withColumn("n_shards", F.lit(1))
+    legacy = "n_shards" not in postings.columns
+    if legacy:
+        # Pre-round-2 index layout: salts were hash-partition spill counters,
+        # NOT doc residues, so doc-disjoint fan-out is impossible — route
+        # every salt row to serve shard 0 with modulus 1 (the kernels merge
+        # multiple rows per term exactly; no residue filter may run, it
+        # would silently drop docs). A round-2 rebuild restores parallel
+        # serving. (Round 2's shim left salt>0 rows with an illegal
+        # sequence(salt, 0, 1) — judged broken; pinned by test_postings.)
+        postings = postings.withColumn("salt", F.lit(0)).withColumn(
+            "n_shards", F.lit(1)
+        )
     meta = {
         t: m for t, m in index.term_meta(term_list).items() if m[1] > 0
     }
 
     forced = 1
     if n_serve_shards and int(n_serve_shards) > 1:
-        forced = 1 << (int(n_serve_shards) - 1).bit_length()  # next pow2 >= n
+        if legacy:
+            import warnings
+
+            warnings.warn(
+                "n_serve_shards ignored: legacy (pre-doc-shard) index layout "
+                "has no doc-residue salts; rebuild the index for parallel "
+                "serving",
+                stacklevel=2,
+            )
+        else:
+            forced = 1 << (int(n_serve_shards) - 1).bit_length()  # next pow2
     q_terms: dict[str, list[str]] = {}
     for r in qt_rows:
         if r["term"] in meta:
