@@ -69,9 +69,14 @@ def main() -> None:
     from sparkforward.postings import build_inverted_index
     from sparkforward.webtext import synthesize_webpages, webpages_as_documents
 
-    docs = webpages_as_documents(
+    # materialize the corpus BEFORE timing (same methodology as
+    # tools/bench_scaling.py) — index_build measures the engine, not the
+    # synthetic generator
+    corpus_path = tempfile.mkdtemp(prefix="sfwd_bench_corpus_")
+    webpages_as_documents(
         synthesize_webpages(spark, BUILD_DOCS, num_partitions=max(CPUS * 2, 32))
-    )
+    ).write.mode("overwrite").parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
     build_path = tempfile.mkdtemp(prefix="sfwd_bench_idx_")
     t0 = time.perf_counter()
     build_inverted_index(
@@ -95,6 +100,52 @@ def main() -> None:
     lat.sort()
     timings["wand_serve_8q"] = round(lat[0], 3)
     wand_p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+
+    # Forced block-max WAND serve (taat_max_postings=0) on MIXED rare+head
+    # queries — the regime block skipping exists for (a rare high-idf term
+    # sets a threshold the dense head lists' blocks can't reach). At this
+    # SF the dispatcher would pick TAAT for everything, so this line proves
+    # the WAND kernel end-to-end: identical rows to the dispatched (TAAT)
+    # serve on the same queries, plus pruning efficiency (blocks decoded /
+    # blocks gathered — the cost driver at 10^12 docs, where decoded
+    # blocks, not wall seconds of a Python loop at toy scale, measure the
+    # serve work).
+    prune_q = spark.createDataFrame(
+        [
+            ("w1", "tail500 query join"),
+            ("w2", "tail200 tail500 the"),
+            ("w3", "tail1000 spark data"),
+            ("w4", "tail300 filter stream"),
+            ("w5", "tail150 tail700 merge"),
+            ("w6", "tail2000 table hash"),
+            ("w7", "tail450 scan column"),
+            ("w8", "tail900 big value"),
+        ],
+        "q_id string, query string",
+    )
+    sc = spark.sparkContext
+    acc_dec, acc_tot = sc.accumulator(0), sc.accumulator(0)
+    base_rows = sorted(
+        (r["q_id"], r["id"], r["rank"], r["score"])
+        for r in wand_topk(index, prune_q, k=10).collect()
+    )
+    wlat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wand_rows = wand_topk(
+            index, prune_q, k=10, taat_max_postings=0,
+            block_stats=(acc_dec, acc_tot),
+        ).collect()
+        wlat.append(time.perf_counter() - t0)
+    assert base_rows == sorted(
+        (r["q_id"], r["id"], r["rank"], r["score"]) for r in wand_rows
+    ), "forced-WAND serve diverged from the dispatched serve"
+    timings["wand_kernel_serve_8q"] = round(min(wlat), 3)
+    wand_pruning = {
+        "blocks_decoded": int(acc_dec.value) // 3,  # per serve pass
+        "blocks_total": int(acc_tot.value) // 3,
+        "decode_fraction": round(acc_dec.value / max(acc_tot.value, 1), 4),
+    }
 
     deep: dict[str, float] = {}
     # Deep re-rank pair: the regime early stopping exists for. 16 queries x
@@ -192,6 +243,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "index_build_docs_per_sec": round(BUILD_DOCS / build_sec, 1),
                 "wand_serve_p95_sec": round(wand_p95, 3),
+                "wand_pruning": wand_pruning,
                 "query_p95_sec": round(
                     sorted(timings[q] for q in BENCH_QUERIES)[
                         max(0, int(0.95 * len(BENCH_QUERIES)) - 1)

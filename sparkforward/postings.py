@@ -344,21 +344,51 @@ def _build_partials(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 "sum_dl": sum_dl,
             }
         ]
-        for t, (ds, cs, dls) in acc.items():
-            d_arr = np.asarray(ds, dtype=np.int64)
-            order = np.argsort(d_arr, kind="stable")
-            d_arr = d_arr[order]
-            rows.append(
-                {
-                    "term": t,
-                    "part_id": part_id,
-                    "n": len(ds),
-                    "doc_blob": varbyte_encode(np.diff(d_arr, prepend=np.int64(0))),
-                    "tf_blob": varbyte_encode(np.asarray(cs, dtype=np.int64)[order]),
-                    "dl_blob": varbyte_encode(np.asarray(dls, dtype=np.int64)[order]),
-                    "sum_dl": None,
-                }
+        # Batched encode: with a realistic long-tail vocabulary a partition
+        # holds ~10^4 terms, and three per-term varbyte_encode calls pay
+        # ~10^4 x numpy fixed overhead (measured 35x the tokenize cost).
+        # Lay all terms' postings out flat, sort docs within terms with ONE
+        # lexsort, restart deltas at term boundaries, encode each stream
+        # once, and slice per-term blobs at the recorded byte offsets —
+        # byte-identical to the per-term encoding (varbyte is per-value).
+        if acc:
+            lens = np.fromiter(
+                (len(v[0]) for v in acc.values()), dtype=np.int64, count=len(acc)
             )
+            bounds = np.concatenate(([np.int64(0)], np.cumsum(lens)))
+            total = int(bounds[-1])
+            docs_flat = np.empty(total, dtype=np.int64)
+            tf_flat = np.empty(total, dtype=np.int64)
+            dl_flat = np.empty(total, dtype=np.int64)
+            for (ds, cs, dls), s, e in zip(acc.values(), bounds[:-1], bounds[1:]):
+                docs_flat[s:e] = ds
+                tf_flat[s:e] = cs
+                dl_flat[s:e] = dls
+            term_ids = np.repeat(np.arange(len(acc), dtype=np.int64), lens)
+            order = np.lexsort((docs_flat, term_ids))
+            d_s = docs_flat[order]
+            starts = bounds[:-1]
+            deltas = d_s.copy()
+            deltas[1:] -= d_s[:-1]
+            deltas[starts] = d_s[starts]  # delta restart per term (prepend=0)
+            doc_all, doc_off = varbyte_encode_with_offsets(deltas, starts)
+            tf_all, tf_off = varbyte_encode_with_offsets(tf_flat[order], starts)
+            dl_all, dl_off = varbyte_encode_with_offsets(dl_flat[order], starts)
+            doc_off.append(len(doc_all))
+            tf_off.append(len(tf_all))
+            dl_off.append(len(dl_all))
+            for i, t in enumerate(acc):
+                rows.append(
+                    {
+                        "term": t,
+                        "part_id": part_id,
+                        "n": int(lens[i]),
+                        "doc_blob": doc_all[doc_off[i]:doc_off[i + 1]],
+                        "tf_blob": tf_all[tf_off[i]:tf_off[i + 1]],
+                        "dl_blob": dl_all[dl_off[i]:dl_off[i + 1]],
+                        "sum_dl": None,
+                    }
+                )
         yield pd.DataFrame(
             rows,
             columns=["term", "part_id", "n", "doc_blob", "tf_blob", "dl_blob", "sum_dl"],
@@ -557,16 +587,22 @@ def merge_partials(
 
     def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = keys
-        ds, tfs, dls = [], [], []
-        for _, row in pdf.iterrows():
-            d, tf_a, dl_a = decode_posting_list(row)
-            ds.append(d)
-            tfs.append(tf_a)
-            dls.append(dl_a)
-        enc = encode_posting_list(
-            np.concatenate(ds), np.concatenate(tfs), np.concatenate(dls),
-            avgdl, block_size,
-        )
+        # Batch-decode: varbyte is self-delimiting, so the group's partial
+        # blobs decode in ONE call per stream instead of 3 numpy-overhead-
+        # bound calls per partial (with a long-tail vocabulary the merge
+        # has |vocab| groups and per-row decode dominated the build).
+        # Absolute doc ids come from a segment-corrected cumsum — each
+        # partial's plain deltas restart at 0.
+        n_arr = pdf["n"].to_numpy(dtype=np.int64)
+        deltas = varbyte_decode(b"".join(bytes(b) for b in pdf["doc_blob"]))
+        tf_a = varbyte_decode(b"".join(bytes(b) for b in pdf["tf_blob"]))
+        dl_a = varbyte_decode(b"".join(bytes(b) for b in pdf["dl_blob"]))
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+        base = np.zeros(len(n_arr), dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        docs = cs - np.repeat(base, n_arr)
+        enc = encode_posting_list(docs, tf_a, dl_a, avgdl, block_size)
         return pd.DataFrame(
             [{"term": term, "salt": int(salt), "n_shards": head.get(term, 1), **enc}]
         )

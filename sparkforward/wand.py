@@ -193,8 +193,12 @@ def wand_query(
     block_size: int,
     modulus: int = 1,
     residue: int = 0,
+    stats_out: list | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one query's shard rows -> [(doc_id, score)].
+
+    ``stats_out``: when a list is passed, ``(blocks_decoded,
+    blocks_total)`` is appended — the pruning-efficiency counters.
 
     Returns the exact top-k by (rounded score desc, doc_id asc); ``score``
     is the float64 BM25 sum over the query's matching terms, rounded to
@@ -289,6 +293,13 @@ def wand_query(
             for c in live[:pivot_idx]:
                 if c.current() < pivot_doc:
                     c.seek(pivot_doc)
+    if stats_out is not None:
+        stats_out.append(
+            (
+                sum(c.blocks_decoded for c in cursors),
+                sum(c.n_blocks for c in cursors),
+            )
+        )
     out = sorted(heap, key=lambda t: (-t[0], -t[1]))
     return [(-d, s) for s, d in out]
 
@@ -307,6 +318,7 @@ def taat_query(
     block_size: int,
     modulus: int = 1,
     residue: int = 0,
+    stats_out: list | None = None,
 ) -> list[tuple[int, float]]:
     """Term-at-a-time exhaustive scoring, fully NumPy-vectorized.
 
@@ -317,6 +329,9 @@ def taat_query(
     """
     from sparkforward.postings import decode_blocked_posting_list
 
+    if stats_out is not None:  # TAAT decodes everything: decoded == total
+        total = int(sum(len(r["block_last_doc"]) for _, r in term_rows.iterrows()))
+        stats_out.append((total, total))
     docs_l, scores_l = [], []
     for _, row in term_rows.iterrows():
         d, tf, dl = decode_blocked_posting_list(row, block_size)
@@ -357,8 +372,17 @@ def wand_topk(
     queries: DataFrame,
     k: int = 10,
     n_serve_shards: int | None = None,
+    taat_max_postings: int | None = None,
+    block_stats: tuple | None = None,
 ) -> DataFrame:
     """(q_id, id, rank, score) — doc-disjoint partition-parallel serving.
+
+    ``taat_max_postings`` overrides the TAAT/WAND dispatch threshold
+    (default :data:`TAAT_MAX_POSTINGS`; pass ``0`` to force the block-max
+    WAND kernel end-to-end — the bench's pruning-efficiency probe).
+    ``block_stats``: a ``(decoded, total)`` pair of Spark accumulators the
+    serve tasks add their block-decode counters to; ``decoded/total`` is
+    the fraction of the gathered postings actually decompressed.
 
     Postings are pruned to query terms before any decode via a pushed-down
     In-filter on the term-sorted scan. A query is then served as
@@ -454,13 +478,20 @@ def wand_topk(
         ),
     )
 
+    taat_max = TAAT_MAX_POSTINGS if taat_max_postings is None else int(taat_max_postings)
+    acc_decoded, acc_total = block_stats if block_stats is not None else (None, None)
+
     def serve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         q_id, shard = key
         modulus = int(pdf["q_n_serve"].iloc[0])
-        kernel = (
-            taat_query if int(pdf["n"].sum()) <= TAAT_MAX_POSTINGS else wand_query
+        kernel = taat_query if int(pdf["n"].sum()) <= taat_max else wand_query
+        stats: list | None = [] if acc_decoded is not None else None
+        hits = kernel(
+            pdf, kk, avgdl, block_size, modulus, int(shard), stats_out=stats
         )
-        hits = kernel(pdf, kk, avgdl, block_size, modulus, int(shard))
+        if stats:
+            acc_decoded.add(stats[0][0])
+            acc_total.add(stats[0][1])
         return pd.DataFrame(
             {
                 "q_id": [q_id] * len(hits),
