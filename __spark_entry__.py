@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q.q_dedup_embedding,
         "dedup_embedding_lsh": q.q_dedup_embedding_lsh,
         "doc_fingerprint": q.q_doc_fingerprint,
+        "dedup_simhash": q.q_dedup_simhash,
         # events / streaming analytics (batch modes of the streaming ops)
         "event_window": q.q_event_window,
         "user_sessions": q.q_user_sessions,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": q.sql_dedup_embedding(),
         "dedup_embedding_lsh": q.sql_dedup_embedding_lsh(),
         "doc_fingerprint": q.sql_doc_fingerprint(),
+        "dedup_simhash": q.sql_dedup_simhash(),
         "event_window": q.sql_event_window(),
         "user_sessions": q.sql_user_sessions(),
         "token_count": q.sql_token_count(),

@@ -496,3 +496,173 @@ def simhash(
             yield pdf
 
     return docs.mapInPandas(hash_batches, schema=T.StructType(fields))
+
+
+# --------------------------------------------------------- SimHash near-dup #
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_sign_cols(tok: DataFrame) -> DataFrame:
+    """(doc_id, s0..s63) — per-bit SimHash weight sums, all JVM.
+
+    Bit layout (both engines agree by construction): nibble j (0-based) is
+    hex char j+1 of md5(term); bit position p = 4*j + k is
+    ``(nibble_j >> k) & 1``; each distinct term contributes +1/-1 per bit.
+    The groupBy partial-aggregates 64 small ints map-side — the shuffle
+    carries one 64-int row per doc, never tokens x bits (the minhash
+    lesson, applied here from the start)."""
+    nibs = [
+        F.conv(F.substring(F.md5("term"), j + 1, 1), 16, 10).cast("int")
+        for j in range(16)
+    ]
+    weights = [
+        (F.shiftright(nibs[p // 4], p % 4).bitwiseAND(F.lit(1)) * 2 - 1)
+        for p in range(64)
+    ]
+    return tok.groupBy("doc_id").agg(
+        *[F.sum(weights[p]).alias(f"s{p}") for p in range(64)]
+    )
+
+
+def _simhash_pack_cols():
+    """(fingerprint, band0..band3) column expressions over s0..s63."""
+    sign = [F.when(F.col(f"s{p}") > 0, F.lit(1)).otherwise(F.lit(0)) for p in range(64)]
+    fp = sign[0] * F.lit(1)
+    for p in range(1, 63):
+        fp = fp + sign[p] * F.lit(1 << p)
+    fp = fp + sign[63] * F.lit(-9223372036854775807 - 1)
+    bands = []
+    for i in range(SIMHASH_BANDS):
+        b = sign[16 * i] * F.lit(1)
+        for k in range(1, 16):
+            b = b + sign[16 * i + k] * F.lit(1 << k)
+        bands.append(b.cast("bigint").alias(f"band{i}"))
+    return fp.cast("bigint").alias("simhash"), bands
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: bigint) — md5-nibble SimHash, oracle-reproducible.
+
+    Unlike :func:`simhash` (blake2b, Arrow-batched Python), this variant is
+    pure Catalyst and its bit derivation is expressible in ANSI SQL, so the
+    driver gate can hash-match it."""
+    fp, _ = _simhash_pack_cols()
+    return _simhash_sign_cols(_token_sets(docs, text_col)).select("doc_id", fp)
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs.
+
+    Scale path: the 64-bit fingerprint splits into 4 x 16-bit bands; by
+    pigeonhole any pair within Hamming distance 3 collides on >= 1 band, so
+    candidates come from 4 equi-joins (one per band), never all-pairs; the
+    exact Hamming verify (``bit_count(xor)``) then filters false bucket
+    hits. Same skew caveat as MinHash banding: a degenerate corpus
+    collapses buckets (AQE skew-join at scale)."""
+    fp, bands = _simhash_pack_cols()
+    sigs = _simhash_sign_cols(_token_sets(docs, text_col)).select(
+        "doc_id", fp, *bands
+    )
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("band"),
+                    F.col(f"band{i}").alias("val"),
+                )
+                for i in range(SIMHASH_BANDS)
+            ]
+        )
+    ).alias("bb")
+    bucketed = sigs.select("doc_id", "simhash", entries).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    a = bucketed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "val"
+    )
+    b = bucketed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "val"
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """DuckDB oracle for :func:`simhash_near_duplicates` — same md5-nibble
+    bit layout, same banding, same exact Hamming verify."""
+    from sparkforward.tokenize import SPLIT_PATTERN
+
+    nib_cols = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(md5(term), {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(16)
+    )
+    sums = ",\n         ".join(
+        f"sum(2 * ((n{p // 4} >> {p % 4}) & 1) - 1) AS s{p}" for p in range(64)
+    )
+    fp_terms = " + ".join(
+        [f"(CASE WHEN s{p} > 0 THEN 1 ELSE 0 END) * {1 << p}" for p in range(63)]
+        + ["(CASE WHEN s63 > 0 THEN 1 ELSE 0 END) * (-9223372036854775807 - 1)"]
+    )
+    band_cols = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN s{16 * i + k} > 0 THEN 1 ELSE 0 END) * {1 << k}"
+            for k in range(16)
+        )
+        + f") AS band{i}"
+        for i in range(SIMHASH_BANDS)
+    )
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM fp a JOIN fp b ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id"
+        for i in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS t(term)
+  WHERE t.term <> ''
+),
+nib AS (
+  SELECT doc_id,
+         {nib_cols}
+  FROM tok
+),
+s AS (
+  SELECT doc_id,
+         {sums}
+  FROM nib GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         CAST({fp_terms} AS BIGINT) AS simhash,
+         {band_cols}
+  FROM s
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+{band_union}
+  )
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+"""

@@ -753,6 +753,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(load_documents(spark, sf_dir))
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates: 4x16-bit band candidates + exact Hamming
+    verify (bit_count(xor)), fingerprints derived JVM-side from md5
+    nibbles so the DuckDB oracle reproduces them bit-for-bit."""
+    from sparkforward.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(load_documents(spark, sf_dir))
+
+
+def sql_dedup_simhash() -> str:
+    from sparkforward.dedup import simhash_neardup_sql
+
+    return simhash_neardup_sql()
+
+
 def sql_doc_fingerprint() -> str:
     from sparkforward.dedup import DOC_FINGERPRINT_SQL
 

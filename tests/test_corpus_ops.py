@@ -321,3 +321,58 @@ def test_url_dictionary_dense_and_deterministic(spark):
     docs = attach_doc_ids(pages, build_url_dictionary(pages))
     assert docs.count() == 500
     assert set(docs.columns) == {"doc_id", "text", "lang"}
+
+
+def test_simhash64_matches_reference_bits(spark):
+    """The JVM md5-nibble SimHash must equal a direct Python rederivation
+    of the same bit layout (nibble j = hex char j+1; bit p = 4j+k)."""
+    import hashlib
+
+    from sparkforward.dedup import simhash64
+    from sparkforward.tokenize import tokenize
+
+    texts = {
+        1: "spark query join filter window stream",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "one",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+
+    for doc_id, text in texts.items():
+        acc = [0] * 64
+        for term in set(tokenize(text)):
+            h = hashlib.md5(term.encode()).hexdigest()
+            for j in range(16):
+                nib = int(h[j], 16)
+                for k in range(4):
+                    acc[4 * j + k] += 1 if (nib >> k) & 1 else -1
+        u = sum((1 if s > 0 else 0) << p for p in range(64))
+        expected = u - (1 << 64) if u >= (1 << 63) else u
+        assert got[doc_id] == expected, doc_id
+
+
+def test_simhash_near_duplicates_banding(spark):
+    """Band candidates + exact Hamming verify: a planted near-dup pair is
+    found; the verify rejects pairs beyond max_hamming even when a band
+    collides."""
+    from sparkforward.dedup import simhash64, simhash_near_duplicates
+
+    base = "spark query join filter window stream sort merge table hash group"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally unrelated content words")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    got = simhash_near_duplicates(docs, max_hamming=16).toPandas()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in got.itertuples()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == ham(fps[1], fps[2])
+    # every reported pair's hamming is exact and within the bound
+    assert all(h <= 16 for h in pairs.values())
+    for (a, b), h in pairs.items():
+        assert h == ham(fps[a], fps[b])
