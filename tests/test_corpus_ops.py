@@ -347,32 +347,43 @@ def test_simhash64_matches_reference_bits(spark):
                 nib = int(h[j], 16)
                 for k in range(4):
                     acc[4 * j + k] += 1 if (nib >> k) & 1 else -1
-        u = sum((1 if s > 0 else 0) << p for p in range(64))
+        u = sum((1 if acc[p] > 0 else 0) << p for p in range(64))
         expected = u - (1 << 64) if u >= (1 << 63) else u
         assert got[doc_id] == expected, doc_id
 
 
 def test_simhash_near_duplicates_banding(spark):
-    """Band candidates + exact Hamming verify: a planted near-dup pair is
-    found; the verify rejects pairs beyond max_hamming even when a band
-    collides."""
+    """Band candidates + exact Hamming verify must equal the brute-force
+    answer: for max_hamming <= 3 and 4 bands, pigeonhole guarantees every
+    true pair collides on >= 1 band (no false negatives), and the
+    bit_count(xor) verify kills false bucket hits (no false positives).
+    An exact duplicate (Hamming 0) is planted so the expected set is
+    non-empty."""
     from sparkforward.dedup import simhash64, simhash_near_duplicates
 
     base = "spark query join filter window stream sort merge table hash group"
-    docs = spark.createDataFrame(
-        [(1, base), (2, base + " extra"), (3, "totally unrelated content words")],
-        "doc_id long, text string",
-    )
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate -> hamming 0
+        (3, base + " extra words appended here"),
+        (4, "totally unrelated content nothing shared"),
+        (5, "tail1 tail2 tail3 tail4 tail5 tail6 tail7"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
     fps = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
 
     def ham(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
-    got = simhash_near_duplicates(docs, max_hamming=16).toPandas()
+    ids = sorted(fps)
+    expected = {
+        (a, b): ham(fps[a], fps[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(fps[a], fps[b]) <= 3
+    }
+    assert (1, 2) in expected and expected[(1, 2)] == 0
+
+    got = simhash_near_duplicates(docs, max_hamming=3).toPandas()
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in got.itertuples()}
-    assert (1, 2) in pairs
-    assert pairs[(1, 2)] == ham(fps[1], fps[2])
-    # every reported pair's hamming is exact and within the bound
-    assert all(h <= 16 for h in pairs.values())
-    for (a, b), h in pairs.items():
-        assert h == ham(fps[a], fps[b])
+    assert pairs == expected

@@ -113,20 +113,24 @@ def test_early_stopping_releases_executor_storage(spark, es_setup):
     kw = dict(cutoff=5, alpha=0.5, depths=(2, 5, 10, 20),
               query_vectors=qvecs, mode=Mode.PASSAGE)
 
-    def n_persistent():
-        return len(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    def persistent_ids():
+        return {int(k) for k in dict(spark.sparkContext._jsc.getPersistentRDDs())}
 
-    base = n_persistent()
+    # set-difference, not counts: Spark's ContextCleaner may concurrently
+    # unpersist OTHER tests' dropped caches, so only ids THIS call creates
+    # are asserted on
     for _ in range(2):
+        before = persistent_ids()
         out = early_stopping_scores(ranking, index, driver_threshold=0, **kw)
         assert _as_dict(out) == EXPECTED
         # at most the result's own checkpoint may remain...
-        assert n_persistent() <= base + 1
+        assert len(persistent_ids() - before) <= 1
         out.release()
         # ...and release() drops that too: zero net growth across runs
-        assert n_persistent() == base
+        assert persistent_ids() - before == set()
 
     # the driver (serving) strategy pins nothing at all after returning
+    before = persistent_ids()
     out = early_stopping_scores(ranking, index, driver_threshold=10**9, **kw)
     assert _as_dict(out) == EXPECTED
-    assert n_persistent() == base
+    assert persistent_ids() - before == set()
