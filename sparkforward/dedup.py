@@ -556,40 +556,51 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = SIMHASH_MAX_HAMMING,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) — SimHash near-duplicate pairs.
+    """(doc_a, doc_b, hamming) — ALL pairs within ``max_hamming`` (<= 3).
 
-    Scale path: the 64-bit fingerprint splits into 4 x 16-bit bands; by
-    pigeonhole any pair within Hamming distance 3 collides on >= 1 band, so
-    candidates come from 4 equi-joins (one per band), never all-pairs; the
-    exact Hamming verify (``bit_count(xor)``) then filters false bucket
-    hits. Same skew caveat as MinHash banding: a degenerate corpus
-    collapses buckets (AQE skew-join at scale)."""
-    fp, bands = _simhash_pack_cols()
+    Scale path (Manku/Jain/Sarma-style block keys): the 64-bit fingerprint
+    splits into 6 blocks (11/11/11/11/10/10 bits); candidate keys are the
+    C(6, 6-k) concatenations of (6-k) blocks. Any pair within Hamming
+    distance k differs in at most k blocks, so at least one (6-k)-block
+    key collides — recall is COMPLETE, and the exact ``bit_count(xor)``
+    verify removes false bucket hits, so the output is exactly the
+    brute-force answer (which is what the DuckDB oracle computes). Keys
+    are >= 32 bits wide, so random bucket collisions stay ~n^2/2^32 —
+    unlike naive 16-bit banding, which goes quadratic around 10^5 docs
+    (measured; that was this function's first shape).
+    """
+    k = int(max_hamming)
+    if not 0 <= k <= 3:
+        raise ValueError("max_hamming must be in [0, 3] for 6-block keys")
+    import itertools
+
+    fp, _ = _simhash_pack_cols()
     sigs = _simhash_sign_cols(_token_sets(docs, text_col)).select(
-        "doc_id", fp, *bands
+        "doc_id", fp, *_simhash_block_cols()
     )
+    combos = list(itertools.combinations(range(len(SIMHASH_BLOCK_LAYOUT)), 6 - k))
     entries = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(i).cast("int").alias("band"),
-                    F.col(f"band{i}").alias("val"),
+                    F.lit(ci).cast("int").alias("combo"),
+                    _pack_blocks([F.col(f"blk{b}") for b in combo]).alias("key"),
                 )
-                for i in range(SIMHASH_BANDS)
+                for ci, combo in enumerate(combos)
             ]
         )
     ).alias("bb")
     bucketed = sigs.select("doc_id", "simhash", entries).select(
-        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+        "doc_id", "simhash", F.col("bb.combo").alias("combo"), F.col("bb.key").alias("key")
     )
     a = bucketed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "val"
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "combo", "key"
     )
     b = bucketed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "val"
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "combo", "key"
     )
     cand = (
-        a.join(b, ["band", "val"])
+        a.join(b, ["combo", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "fp_a", "fp_b")
         .distinct()
@@ -597,14 +608,42 @@ def simhash_near_duplicates(
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("bigint")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= k)
         .select("doc_a", "doc_b", "hamming")
     )
 
 
+#: 6 blocks over bit positions 0..63: (offset, width)
+SIMHASH_BLOCK_LAYOUT = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+
+
+def _simhash_block_cols():
+    """blk0..blk5 column expressions over the sign sums s0..s63."""
+    sign = [F.when(F.col(f"s{p}") > 0, F.lit(1)).otherwise(F.lit(0)) for p in range(64)]
+    out = []
+    for i, (off, width) in enumerate(SIMHASH_BLOCK_LAYOUT):
+        b = sign[off] * F.lit(1)
+        for k in range(1, width):
+            b = b + sign[off + k] * F.lit(1 << k)
+        out.append(b.cast("bigint").alias(f"blk{i}"))
+    return out
+
+
+def _pack_blocks(cols):
+    """Concatenate block values into one bigint key (12 bits per slot)."""
+    key = cols[0]
+    for i, c in enumerate(cols[1:], start=1):
+        key = key + c * F.lit(1 << (12 * i))
+    return key.cast("bigint")
+
+
 def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
-    """DuckDB oracle for :func:`simhash_near_duplicates` — same md5-nibble
-    bit layout, same banding, same exact Hamming verify."""
+    """DuckDB oracle for :func:`simhash_near_duplicates`.
+
+    Same md5-nibble fingerprint derivation; candidates by brute force
+    (the oracle baseline — the engine's block-key scheme is recall-
+    complete for Hamming <= 3, so both produce exactly the pairs within
+    ``max_hamming``)."""
     from sparkforward.tokenize import SPLIT_PATTERN
 
     nib_cols = ",\n         ".join(
@@ -617,20 +656,6 @@ def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     fp_terms = " + ".join(
         [f"(CASE WHEN s{p} > 0 THEN 1 ELSE 0 END) * {1 << p}" for p in range(63)]
         + ["(CASE WHEN s63 > 0 THEN 1 ELSE 0 END) * (-9223372036854775807 - 1)"]
-    )
-    band_cols = ",\n         ".join(
-        "("
-        + " + ".join(
-            f"(CASE WHEN s{16 * i + k} > 0 THEN 1 ELSE 0 END) * {1 << k}"
-            for k in range(16)
-        )
-        + f") AS band{i}"
-        for i in range(SIMHASH_BANDS)
-    )
-    band_union = "\n  UNION ALL\n".join(
-        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM fp a JOIN fp b ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id"
-        for i in range(SIMHASH_BANDS)
     )
     return f"""
 WITH tok AS (
@@ -649,20 +674,10 @@ s AS (
   FROM nib GROUP BY doc_id
 ),
 fp AS (
-  SELECT doc_id,
-         CAST({fp_terms} AS BIGINT) AS simhash,
-         {band_cols}
-  FROM s
-),
-cand AS (
-  SELECT DISTINCT doc_a, doc_b FROM (
-{band_union}
-  )
+  SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM s
 )
-SELECT c.doc_a, c.doc_b,
-       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
-FROM cand c
-JOIN fp fa ON fa.doc_id = c.doc_a
-JOIN fp fb ON fb.doc_id = c.doc_b
-WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
