@@ -182,8 +182,9 @@ def sessionize_stream(
     appears; the event-time timeout flushes a session once the watermark
     passes its end + gap, so results converge to the batch twin for every
     closed session. Session ordinals are not globally known mid-stream, so
-    the streaming output omits ``session_no`` (matched on start/end in
-    tests).
+    the streaming output omits ``session_no``; assign batch-compatible
+    ordinals to any bounded snapshot of the sink with
+    :func:`attach_session_ordinals` (parity pinned in tests).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -281,4 +282,26 @@ def compact_streamed_index(
     return merge_partials(
         spark, core, os.path.join(path, "index"),
         n_docs=float(g["n_docs"]), avgdl=float(g["avgdl"]), **build_kwargs,
+    )
+
+
+def attach_session_ordinals(sessions: DataFrame) -> DataFrame:
+    """Assign batch-compatible ``session_no`` to (closed) session rows.
+
+    The streaming sessionizer cannot know a session's ordinal mid-stream
+    (later micro-batches may still close EARLIER sessions of the same
+    user), so its output omits ``session_no``. Once the rows are at rest
+    — a sink table, or any bounded snapshot — the ordinal is a pure
+    function of order: ``row_number() OVER (PARTITION BY user_id ORDER BY
+    session_start)``. For a user's COMPLETE closed-session history this
+    equals ``sessionize_batch``'s running-sum ordinal exactly (sessions
+    are disjoint time ranges, so start order is session order; pinned by
+    tests). One window per user key — the same shuffle shape as the
+    sessionizer itself."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    # 0-based, matching sessionize_batch's running-sum ordinal
+    return sessions.withColumn(
+        "session_no", (F.row_number().over(w) - 1).cast("bigint")
     )

@@ -153,3 +153,19 @@ def test_mode_entries_use_candidate_gather(spark):
         # which lives inside the cached first-stage relation)
         tail = plan.split("InMemoryTableScan")[0]
         assert "BroadcastNestedLoopJoin" not in tail, tail
+
+
+def test_simhash_neardup_is_pure_jvm_with_partial_agg(spark):
+    """dedup_simhash must be Python-free (md5-nibble fingerprints are
+    Catalyst expressions) and its 64 bit-sum aggregation must partial-
+    aggregate map-side — the shuffle carries one 64-int row per doc,
+    never tokens x bits."""
+    from sparkforward import queries as q
+
+    plan = _plan(q.q_dedup_simhash(spark, SF))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
