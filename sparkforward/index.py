@@ -180,8 +180,21 @@ class VectorIndex:
 
     # ------------------------------- I/O ------------------------------- #
     def write(self, path: str, num_buckets: int | None = None) -> "VectorIndex":
-        """Persist as Parquet + manifest. ``consolidate`` == compaction here."""
-        self.df.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+        """Persist as Parquet + manifest. ``consolidate`` == compaction here.
+
+        ``num_buckets``: hash-repartition by doc_id into that many files and
+        sort each by (doc_id, psg_id) — id-gather scans (the early-stopping
+        ``id IN (...)`` pushdown, candidate joins) then prune whole row
+        groups via parquet min/max on the sorted id instead of reading the
+        table. At cluster scale the same layout comes from an Iceberg
+        ``bucket(doc_id)`` partition transform (iceberg.py DDL).
+        """
+        df = self.df
+        if num_buckets:
+            df = df.repartition(int(num_buckets), "doc_id").sortWithinPartitions(
+                "doc_id", "psg_id"
+            )
+        df.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
         manifest = {
             "format": "sparkforward-vector-index",
             "version": 1,

@@ -150,3 +150,29 @@ def test_index_save_load(spark, doc_psg_index, doc_ranking, tmp_path):
     expected = ff_score(doc_ranking, doc_psg_index, encoder=ENCODER, mode=Mode.MAXP)
     assert ff_score(doc_ranking, loaded, encoder=ENCODER, mode=Mode.MAXP) == expected
     assert ff_score(doc_ranking, reloaded, encoder=ENCODER, mode=Mode.MAXP) == expected
+
+
+def test_write_bucketed_layout_prunes_id_gathers(spark, tmp_path, doc_psg_index):
+    """write(num_buckets=N) hash-partitions by doc_id and sorts each file
+    by (doc_id, psg_id): N part files, identical data, and an id-filtered
+    scan carries the pushed filter the sorted row groups can prune on."""
+    import glob
+
+    path = str(tmp_path / "bucketed")
+    reloaded = doc_psg_index.write(path, num_buckets=3)
+    parts = glob.glob(f"{path}/vectors/part-*.parquet")
+    assert len(parts) == 3
+
+    import pandas as pd
+
+    a = doc_psg_index.df.toPandas().sort_values(["vec_idx"]).reset_index(drop=True)
+    b = reloaded.df.toPandas().sort_values(["vec_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["vec_idx", "doc_id", "psg_id"]], b[["vec_idx", "doc_id", "psg_id"]]
+    )
+
+    from pyspark.sql import functions as F
+
+    scan = reloaded.df.filter(F.col("doc_id").isin(["d0"]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:120]
