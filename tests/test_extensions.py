@@ -582,6 +582,56 @@ def test_spark_submit_build_and_serve_jobs(spark, tmp_path):
     }
     assert served == expected
 
+    # interpolated serve (--vectors/--query-vectors/--alpha): the flagship
+    # alpha*bm25 + (1-alpha)*dense pipeline must also run under spark-submit
+    from sparkforward.index import VectorIndex
+    from sparkforward.ranking import Ranking
+    from sparkforward.score import interpolated_rerank
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vdir = str(tmp_path / "vidx")
+    vidx = VectorIndex(
+        emb.select(
+            F.col("vec_id").alias("vec_idx"),
+            F.col("vec_id").cast("string").alias("doc_id"),
+            F.col("vec_id").cast("string").alias("psg_id"),
+            F.col("embedding").alias("vector"),
+        )
+    ).write(vdir, num_buckets=2)
+    qv_path = str(tmp_path / "qvecs.parquet")
+    emb.filter(F.col("vec_id") == 10).select(
+        F.lit("q1").alias("q_id"), F.col("embedding").alias("q_vector")
+    ).write.parquet(qv_path)
+
+    run2 = str(tmp_path / "run_interp")
+    out = subprocess.run(
+        [*base, os.path.join(repo, "tools", "serve_topk_job.py"),
+         "--index", idx_dir, "--queries", qpath, "--output", run2, "--k", "5",
+         "--vectors", vdir, "--query-vectors", qv_path, "--alpha", "0.2"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    served2 = {
+        (r["q_id"], r["id"], round(r["score"], 4))
+        for r in spark.read.parquet(run2).collect()
+    }
+    from sparkforward.wand import PostingIndex, wand_topk
+
+    pidx = PostingIndex.load(spark, idx_dir)
+    sparse = Ranking(
+        wand_topk(pidx, qdf, k=5).select(
+            "q_id", "id", F.col("score").cast("float").alias("score")
+        )
+    )
+    expected2 = {
+        (r["q_id"], r["id"], round(r["score"], 4))
+        for r in interpolated_rerank(
+            sparse, vidx, alpha=0.2,
+            query_vectors=spark.read.parquet(qv_path), k=5,
+        ).df.collect()
+    }
+    assert served2 == expected2 and len(served2) == 5
+
 
 def test_real_container_header_parsing(spark):
     """PNG/JPEG/GIF metadata parses from real container headers (no image
