@@ -855,11 +855,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_token_count() -> str:
+    from sparkforward.textstats import BPE_ISH_PATTERN
+
+    bpe_sql = BPE_ISH_PATTERN.replace("'", "''")
     return f"""
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')) AS n_tokens,
        len(list_distinct(list_filter(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> ''))) AS n_distinct_terms,
-       length(text) AS n_chars
+       length(text) AS n_chars,
+       CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT) AS n_subword_tokens
 FROM documents
 """
 

@@ -15,18 +15,33 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+#: GPT-2-style pre-tokenizer regex, simplified to the subset shared by
+#: Java regex (Spark) and RE2 (DuckDB): no lookahead, ASCII classes.
+#: Counts sub-word-ish units — contraction suffixes, space-prefixed word/
+#: number runs, punctuation runs, whitespace runs (the brief's "BPE-ish
+#: regex" token counter; cross-engine agreement verified on the fixtures).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
 def _tokens_col(text_col: str = "text"):
     return F.filter(F.split(F.lower(F.col(text_col)), SPLIT_PATTERN), lambda t: t != "")
 
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_distinct_terms, n_chars)."""
+    """(doc_id, n_tokens, n_distinct_terms, n_chars, n_subword_tokens).
+
+    ``n_tokens`` counts whitespace/punct-split words (the engine's
+    canonical tokenizer); ``n_subword_tokens`` counts BPE-ish pre-token
+    units via :data:`BPE_ISH_PATTERN` — both pure JVM."""
     toks = _tokens_col(text_col)
     return docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_terms"),
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+        .cast("bigint")
+        .alias("n_subword_tokens"),
     )
 
 

@@ -413,3 +413,115 @@ def test_forced_wand_kernel_serves_end_to_end(spark, docs, tmp_path):
     acc2 = (sc.accumulator(0), sc.accumulator(0))
     wand_topk(index, qdf, k=10, taat_max_postings=10**12, block_stats=acc2).collect()
     assert int(acc2[0].value) == int(acc2[1].value) == tot
+
+
+def test_batched_partial_encode_equals_per_term_reference():
+    """Round-3 batched stage-1 codec: flat lexsort + one varbyte pass +
+    byte-offset slicing must be BYTE-identical to the straightforward
+    per-term encode for arbitrary (term -> postings) accumulations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkforward.postings import varbyte_encode, varbyte_encode_with_offsets
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=4),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=2**40),  # doc
+                    st.integers(min_value=1, max_value=1000),   # tf
+                    st.integers(min_value=1, max_value=5000),   # dl
+                ),
+                min_size=1,
+                max_size=30,
+                unique_by=lambda t: t[0],  # one row per doc per term
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(acc_in):
+        acc = {
+            t: ([d for d, _, _ in rows], [c for _, c, _ in rows], [l for _, _, l in rows])
+            for t, rows in acc_in.items()
+        }
+        # reference: per-term sort + 3 encodes
+        ref = {}
+        for t, (ds, cs, dls) in acc.items():
+            d_arr = np.asarray(ds, dtype=np.int64)
+            order = np.argsort(d_arr, kind="stable")
+            d_arr = d_arr[order]
+            ref[t] = (
+                varbyte_encode(np.diff(d_arr, prepend=np.int64(0))),
+                varbyte_encode(np.asarray(cs, np.int64)[order]),
+                varbyte_encode(np.asarray(dls, np.int64)[order]),
+            )
+        # batched path (mirrors postings._build_partials)
+        lens = np.fromiter((len(v[0]) for v in acc.values()), dtype=np.int64, count=len(acc))
+        bounds = np.concatenate(([np.int64(0)], np.cumsum(lens)))
+        total = int(bounds[-1])
+        docs_f = np.empty(total, np.int64)
+        tf_f = np.empty(total, np.int64)
+        dl_f = np.empty(total, np.int64)
+        for (ds, cs, dls), s, e in zip(acc.values(), bounds[:-1], bounds[1:]):
+            docs_f[s:e] = ds
+            tf_f[s:e] = cs
+            dl_f[s:e] = dls
+        term_ids = np.repeat(np.arange(len(acc), dtype=np.int64), lens)
+        order = np.lexsort((docs_f, term_ids))
+        d_s = docs_f[order]
+        starts = bounds[:-1]
+        deltas = d_s.copy()
+        deltas[1:] -= d_s[:-1]
+        deltas[starts] = d_s[starts]
+        doc_all, doc_off = varbyte_encode_with_offsets(deltas, starts)
+        tf_all, tf_off = varbyte_encode_with_offsets(tf_f[order], starts)
+        dl_all, dl_off = varbyte_encode_with_offsets(dl_f[order], starts)
+        doc_off.append(len(doc_all)); tf_off.append(len(tf_all)); dl_off.append(len(dl_all))
+        got = {
+            t: (doc_all[doc_off[i]:doc_off[i+1]],
+                tf_all[tf_off[i]:tf_off[i+1]],
+                dl_all[dl_off[i]:dl_off[i+1]])
+            for i, t in enumerate(acc)
+        }
+        assert got == ref
+
+    check()
+
+
+def test_batched_group_decode_equals_per_row_reference():
+    """Round-3 batched stage-2 decode: concatenated-blob varbyte decode +
+    segment-corrected cumsum must recover exactly the per-row decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkforward.postings import varbyte_decode, varbyte_encode
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=2**40),
+                     min_size=1, max_size=50, unique=True),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(partials):
+        blobs, n_arr, want = [], [], []
+        for ds in partials:
+            d = np.sort(np.asarray(ds, dtype=np.int64))
+            blobs.append(varbyte_encode(np.diff(d, prepend=np.int64(0))))
+            n_arr.append(len(d))
+            want.append(d)
+        n_arr = np.asarray(n_arr, dtype=np.int64)
+        deltas = varbyte_decode(b"".join(blobs))
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+        base = np.zeros(len(n_arr), dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        docs = cs - np.repeat(base, n_arr)
+        np.testing.assert_array_equal(docs, np.concatenate(want))
+
+    check()
