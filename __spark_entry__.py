@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search (exact baseline + LSH scale path)
         "similarity_topk": q.q_similarity_topk,
         "similarity_lsh_topk": q.q_similarity_lsh_topk,
+        "similarity_ivf_topk": q.q_similarity_ivf_topk,
         # dedup (dedup_embedding = all-pairs oracle baseline;
         #        dedup_embedding_lsh = the bucketed scale path)
         "dedup_exact": q.q_dedup_exact,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_passage": q.sql_mode_passage(),
         "similarity_topk": q.sql_similarity_topk(),
         "similarity_lsh_topk": q.sql_similarity_lsh_topk(),
+        "similarity_ivf_topk": q.sql_similarity_ivf_topk(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
         "dedup_ngram_jaccard": q.sql_dedup_ngram_jaccard(),

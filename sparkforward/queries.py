@@ -747,6 +747,76 @@ SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, cosine FROM rr WHERE rank <= {
 """
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN scale path: coarse-quantize to {IVF_CENTROIDS} fixed
+    centroids map-side, probe the {IVF_PROBE} nearest lists per query,
+    exact cosine re-rank on the probed candidates."""
+    from sparkforward.similarity import ivf_topk
+
+    emb = load_embeddings(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    return ivf_topk(
+        emb, qvecs, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, k=K_FINAL
+    )
+
+
+def sql_similarity_ivf_topk() -> str:
+    return f"""
+WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
+qv AS (SELECT q_id, embedding::DOUBLE[] AS qe FROM qvec JOIN embeddings ON qvec_id = vec_id),
+cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(1 - list_dot_product(e.embedding::DOUBLE[], c.cv)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cv, c.cv))), 6) ASC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q.q_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(1 - list_dot_product(q.qe, c.cv)
+                        / (sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.cv, c.cv))), 6) ASC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM qv q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_PROBE}
+),
+sims AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(q.qe, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM probe p
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN qv q ON q.q_id = p.q_id
+),
+rr AS (SELECT q_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM sims)
+SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, cosine FROM rr WHERE rank <= {K_FINAL}
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.dedup import doc_fingerprints
 

@@ -274,3 +274,103 @@ def lsh_topk(
         .filter(F.col("rank") <= int(k))
         .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "cosine")
     )
+
+
+# ------------------------------------------------------------------- IVF #
+def _dot_cols(a, b):
+    """float64 dot of two array Columns (sequential fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vectors: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """(q_id, id, rank, cosine) — IVF-style ANN: coarse-quantize, probe,
+    exact re-rank (the inverted-file counterpart to the LSH scale path).
+
+    * **Assign** (map-side, zero shuffle): every vector gets the centroid
+      minimizing ``(round(cos_dist, 6), cent_id)`` via an ``array_min``
+      over per-centroid structs — the whole coarse quantizer is one
+      Catalyst projection against literal centroid arrays.
+    * **Probe**: each query ranks the same centroids and keeps its
+      ``n_probe`` nearest; candidates come from one broadcast equi-join on
+      the assigned centroid id — the scan reads |probed lists| vectors,
+      never the corpus. At rest the vector table is partitioned by
+      ``cent_id`` (cf. VectorIndex.write bucketing), so probing prunes
+      partitions.
+    * **Re-rank**: exact cosine over the candidates, rounded to 6 decimals
+      before ranking, ties by numeric id asc — identical rule to
+      :func:`cosine_topk`, which is the recall baseline in tests.
+
+    ``centroids``: list of (cent_id, vector); defaults to the vectors with
+    ``id < n_centroids`` — a fixed coarse codebook the DuckDB oracle can
+    reproduce exactly. A production deployment fits k-means driver-side on
+    a sample (exactly like quantize.ProductQuantizer.fit) and broadcasts
+    the codebook; every plan below is unchanged by better centroids.
+    """
+    if centroids is None:
+        centroids = [
+            (int(r["cent_id"]), list(r["cv"]))
+            for r in emb.filter(F.col(id_col) < int(n_centroids))
+            .select(F.col(id_col).cast("int").alias("cent_id"), F.col(vec_col).alias("cv"))
+            .collect()
+        ]
+    cent_norm = {c: float(np.sqrt(np.dot(np.asarray(v, float), np.asarray(v, float))))
+                 for c, v in centroids}
+
+    def dist_structs(vcol):
+        vnorm = F.sqrt(_dot_cols(vcol, vcol))
+        entries = []
+        for cid, cv in centroids:
+            lit = F.array(*[F.lit(float(x)) for x in cv])
+            d = F.round(
+                F.lit(1.0) - _dot_cols(vcol, lit) / (vnorm * F.lit(cent_norm[cid])), 6
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
+        return F.array(*entries)
+
+    assigned = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.array_min(dist_structs(F.col(vec_col))).getField("c").alias("cent_id"),
+    )
+    probes = query_vectors.select(
+        "q_id",
+        F.col("q_vector"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(dist_structs(F.col("q_vector"))), lambda s: s["c"]
+                ),
+                1,
+                int(n_probe),
+            )
+        ).alias("cent_id"),
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id").select(
+        "q_id",
+        "_id",
+        F.round(
+            _dot_cols(F.col("q_vector"), F.col("_v"))
+            / (F.sqrt(_dot_cols(F.col("q_vector"), F.col("q_vector")))
+               * F.sqrt(_dot_cols(F.col("_v"), F.col("_v")))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "cosine")
+    )

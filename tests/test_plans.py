@@ -34,7 +34,8 @@ def test_no_cross_products_anywhere(spark, entries):
     must_be_free = {
         "bm25_wand_topk", "interpolate_from_wand",
         "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_embedding_lsh", "similarity_lsh_topk", "doc_fingerprint",
+        "dedup_embedding_lsh", "similarity_lsh_topk", "similarity_ivf_topk",
+        "doc_fingerprint",
         "token_count", "text_quality", "lang_id", "coalesce",
     }
     for name, fn in entries.items():
