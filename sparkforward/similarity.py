@@ -374,3 +374,33 @@ def ivf_topk(
         .filter(F.col("rank") <= int(k))
         .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "cosine")
     )
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Driver-side k-means coarse codebook for :func:`ivf_topk`.
+
+    Same deployment shape as quantize.ProductQuantizer.fit: train on a
+    bounded deterministic sample (the ``sample`` lowest ids — stable
+    across partitionings), Lloyd iterations in NumPy, broadcast the tiny
+    codebook. Returns ``[(cent_id, vector), ...]`` to pass as
+    ``ivf_topk(..., centroids=...)``; better centroids change recall, not
+    plans. (The driver-gate entry keeps the fixed first-K codebook so the
+    DuckDB oracle stays bit-reproducible.)"""
+    from sparkforward.quantize import _kmeans
+
+    rows = (
+        emb.orderBy(F.col(id_col).cast("bigint"))
+        .limit(int(sample))
+        .select(vec_col)
+        .collect()
+    )
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float32)
+    cents = _kmeans(X, int(n_centroids), seed=seed)
+    return [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]

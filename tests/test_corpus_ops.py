@@ -414,3 +414,36 @@ def test_ivf_topk_recall_and_probe_pruning(spark):
     full = ivf_topk(emb, qvecs, n_centroids=16, n_probe=16, k=10)
     got = {(r["q_id"], r["id"]) for r in full.collect()}
     assert got == exact
+
+
+def test_ivf_custom_codebook_exact_at_full_probe(spark):
+    """Codebook choice moves RECALL, never correctness: with the driver-fit
+    k-means codebook plugged into ivf_topk, probing every list recovers
+    exactly the brute-force answer (the IVF invariant that makes codebook
+    quality a tuning knob, not a correctness risk), and partial probing
+    still returns well-formed top-k."""
+    from sparkforward import queries as q
+    from sparkforward.similarity import fit_ivf_centroids, ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = q.load_embeddings(spark, sf)
+    from pyspark.sql import functions as F
+
+    qmap = spark.createDataFrame(list(q.MODE_QVEC_ID.items()), "q_id string, qvec_id long")
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    exact = {(r["q_id"], r["id"]) for r in q.q_similarity_topk(spark, sf).collect()}
+
+    km = fit_ivf_centroids(emb, n_centroids=16, sample=1000)
+    assert len(km) == 16 and len(km[0][1]) == 64
+    # deterministic: same fit twice -> same codebook
+    assert km == fit_ivf_centroids(emb, n_centroids=16, sample=1000)
+
+    full = ivf_topk(emb, qvecs, n_centroids=16, n_probe=16, k=10, centroids=km)
+    assert {(r["q_id"], r["id"]) for r in full.collect()} == exact
+
+    part = ivf_topk(emb, qvecs, n_centroids=16, n_probe=4, k=10, centroids=km).toPandas()
+    assert (part.groupby("q_id")["rank"].max() == 10).all()
+    recall = len({(r.q_id, r.id) for r in part.itertuples()} & exact) / len(exact)
+    assert recall >= 0.3  # data-dependent; exactness above is the contract
