@@ -176,7 +176,9 @@ def topk(scores: DataFrame, k: int, decimals: int = SCORE_DECIMALS) -> DataFrame
         F.desc("score"), F.asc(F.col("doc_id").cast("bigint")), F.asc("doc_id")
     )
     return (
-        rounded.withColumn("rank", F.row_number().over(w))
+        # rank as BIGINT: every top-k surface in the engine (wand_topk,
+        # queries.py entries, oracles' row_number) emits 64-bit ranks
+        rounded.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= int(k))
         .select("q_id", F.col("doc_id").cast("string").alias("id"), "rank", "score")
     )

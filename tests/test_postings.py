@@ -525,3 +525,66 @@ def test_batched_group_decode_equals_per_row_reference():
         np.testing.assert_array_equal(docs, np.concatenate(want))
 
     check()
+
+
+def test_wand_serve_edge_queries(spark, docs, tmp_path):
+    """Serving edge cases: queries whose terms are absent from the
+    dictionary return zero rows (not errors); an empty query set returns
+    an empty frame; mixed present/absent terms score only the present."""
+    index = build_inverted_index(docs.repartition(2), str(tmp_path / "e"),
+                                 num_partitions=2)
+    qdf = spark.createDataFrame(
+        [("qa", "zzzznotaterm qqqqmissing"), ("qb", ""), ("qc", None),
+         ("qd", "spark zzzznotaterm")],
+        "q_id string, query string",
+    )
+    got = wand_topk(index, qdf, k=5).toPandas()
+    assert set(got["q_id"]) == {"qd"}
+    only_spark = wand_topk(
+        index, spark.createDataFrame([("qd", "spark")], "q_id string, query string"), k=5
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("rank").reset_index(drop=True),
+        only_spark.sort_values("rank").reset_index(drop=True),
+    )
+    empty = wand_topk(
+        index, spark.createDataFrame([], "q_id string, query string"), k=5
+    )
+    assert empty.count() == 0
+
+
+def test_wand_serve_fuzz_equals_exhaustive_bm25(spark, tmp_path):
+    """Seeded end-to-end serve fuzz: random tiny corpora and random
+    queries — the full build+serve path (salting, doc shards, block-max
+    kernels, merge window) must be rank-identical to the exhaustive
+    declarative BM25 over the same corpus."""
+    import numpy as np
+
+    from sparkforward.bm25 import bm25_topk
+
+    words = [f"w{i}" for i in range(30)]
+    for seed in (7, 23, 91):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (int(i), " ".join(rng.choice(words, size=int(rng.integers(3, 40)))))
+            for i in range(120)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        index = build_inverted_index(
+            docs.repartition(3), str(tmp_path / f"f{seed}"),
+            salt_threshold=10, n_salt=4, num_partitions=3,
+            target_shard_postings=20, block_size=8,
+        )
+        queries = [
+            (f"q{j}", " ".join(rng.choice(words, size=int(rng.integers(1, 4)))))
+            for j in range(5)
+        ]
+        qdf = spark.createDataFrame(queries, "q_id string, query string")
+        def norm(df):
+            out = df.select("q_id", "id", "rank").toPandas()
+            out["rank"] = out["rank"].astype("int64")
+            return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+        served = norm(wand_topk(index, qdf, k=7))
+        expected = norm(bm25_topk(docs, qdf, k=7))
+        pd.testing.assert_frame_equal(served, expected), seed
