@@ -223,7 +223,12 @@ def _release_persistent_rdds(spark: SparkSession, ids: set[int]) -> None:
     ``DataFrame.unpersist()`` cannot release a ``localCheckpoint`` — its
     storage lives on the checkpoint RDD, not the Dataset — so iterative
     operators snapshot the persistent-RDD id set around their work and
-    release exactly what they created (pinned by tests/test_early_stopping.py)."""
+    release exactly what they created (pinned by tests/test_early_stopping.py).
+
+    The snapshot-diff attributes ownership by time, so it assumes no OTHER
+    driver thread persists new RDDs in the same session while the operator
+    runs (the engine's serving model is one driver thread per session; a
+    concurrent persister could otherwise be swept)."""
     jmap = dict(spark.sparkContext._jsc.getPersistentRDDs())
     for rid, jrdd in jmap.items():
         if int(rid) in ids:
