@@ -170,3 +170,21 @@ def test_simhash_neardup_is_pure_jvm_with_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_plan_shape(spark):
+    """similarity_ivf_topk must keep its scale shape: the coarse
+    assignment is FUSED into a single corpus scan (a map-side projection,
+    no extra pass), candidates come from a BroadcastHashJoin on the
+    assigned centroid id, and top-k uses WindowGroupLimit (partial+final),
+    never a global sort."""
+    from sparkforward import queries as q
+
+    plan = _plan(q.q_similarity_ivf_topk(spark, SF))
+    assert "BroadcastHashJoin [cent_id" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "Sort [" not in plan.split("Window")[0]  # no global sort above
+    # exactly two embedding scans: the corpus side and the tiny
+    # query-vector lookup (centroids are inlined literals, not a scan)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2, scans
