@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q.q_bm25_topk,
         "bm25_wand_topk": q.q_bm25_wand_topk,
         "interpolate_from_wand": q.q_interpolate_from_wand,
+        # TREC runfile sink + source round trip (SURVEY §2.1 R12/R13)
+        "trec_roundtrip": q.q_trec_roundtrip,
         # ranking algebra (SURVEY §2.1)
         "rank_cut": q.q_rank_cut,
         "minmax_normalize": q.q_minmax_normalize,
@@ -84,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_avep": q.q_mode_avep,
         "mode_firstp": q.q_mode_firstp,
         "mode_passage": q.q_mode_passage,
+        # product quantization end-to-end (fit -> encode -> decode -> serve)
+        "quantized_index": q.q_quantized_index,
         # similarity search (exact baseline + LSH scale path)
         "similarity_topk": q.q_similarity_topk,
         "similarity_lsh_topk": q.q_similarity_lsh_topk,
@@ -120,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         # WAND top-100 is rank-identical to BM25 top-100, so the composed
         # pipeline shares the exhaustive interpolation oracle
         "interpolate_from_wand": q.sql_interpolate_rerank(),
+        "trec_roundtrip": q.sql_trec_roundtrip(),
         "rank_cut": q.sql_rank_cut(),
         "minmax_normalize": q.sql_minmax_normalize(),
         "interpolate_rerank": q.sql_interpolate_rerank(),
@@ -128,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_avep": q.sql_mode_avep(),
         "mode_firstp": q.sql_mode_firstp(),
         "mode_passage": q.sql_mode_passage(),
+        "quantized_index": q.sql_quantized_index(),
         "similarity_topk": q.sql_similarity_topk(),
         "similarity_lsh_topk": q.sql_similarity_lsh_topk(),
         "similarity_ivf_topk": q.sql_similarity_ivf_topk(),

@@ -575,6 +575,18 @@ def simhash_near_duplicates(
     import itertools
 
     fp, _ = _simhash_pack_cols()
+    if k == 0:
+        # Hamming 0 == identical fingerprints: join directly on the 64-bit
+        # simhash — no block keys needed. (The 6-block C(6,6) key would pack
+        # blk5 at bit 60 and overflow BIGINT under ANSI mode for blk5 >= 8.)
+        sigs0 = _simhash_sign_cols(_token_sets(docs, text_col)).select("doc_id", fp)
+        a0 = sigs0.select(F.col("doc_id").alias("doc_a"), "simhash")
+        b0 = sigs0.select(F.col("doc_id").alias("doc_b"), "simhash")
+        return (
+            a0.join(b0, "simhash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", F.lit(0).cast("bigint").alias("hamming"))
+        )
     sigs = _simhash_sign_cols(_token_sets(docs, text_col)).select(
         "doc_id", fp, *_simhash_block_cols()
     )

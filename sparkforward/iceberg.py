@@ -63,22 +63,24 @@ def posting_tables_ddl(catalog: str = "sfwd", db: str = "idx", term_buckets: int
     """DDL for the engine's tables on Iceberg — the 1:1 layout mapping.
 
     ``postings`` is hidden-partitioned by ``bucket(term)`` (the serve-time
-    In-filter prunes partitions server-side) and sorted by (term, salt)
-    within files so row-group min/max statistics stay selective — the same
-    two properties the Parquet layout provides by construction.
+    In-filter prunes partitions server-side) and sorted by (term, salt,
+    block_no) within files so row-group min/max statistics stay selective —
+    the same two properties the Parquet layout provides by construction.
+    Block-granular rows (round 4): the serve's metadata pass reads only the
+    non-blob columns (columnar projection skips blob pages), and the
+    surviving-block gather pushes (term, salt, block_no) keys — on Iceberg
+    that prunes at file AND page granularity via column metrics.
     """
     return {
         "postings": f"""
 CREATE TABLE IF NOT EXISTS {catalog}.{db}.postings (
-  term STRING, salt INT, n_shards INT, n BIGINT,
-  doc_blob BINARY, tf_blob BINARY, dl_blob BINARY,
-  block_last_doc ARRAY<BIGINT>, block_max_z ARRAY<DOUBLE>,
-  block_doc_off ARRAY<BIGINT>, block_tf_off ARRAY<BIGINT>,
-  block_dl_off ARRAY<BIGINT>)
+  term STRING, salt INT, n_shards INT, block_no INT, n BIGINT,
+  first_doc BIGINT, last_doc BIGINT, max_z DOUBLE, min_z DOUBLE, n_bytes BIGINT,
+  doc_blob BINARY, tf_blob BINARY, dl_blob BINARY)
 USING iceberg
 PARTITIONED BY (bucket({term_buckets}, term))
 TBLPROPERTIES ('write.distribution-mode' = 'hash',
-               'sort-order' = 'term ASC, salt ASC')
+               'sort-order' = 'term ASC, salt ASC, block_no ASC')
 """,
         "terms": f"""
 CREATE TABLE IF NOT EXISTS {catalog}.{db}.terms (

@@ -37,12 +37,16 @@ def _kmeans(
     n = X.shape[0]
     if n < k:
         raise ValueError(f"Need >= {k} training vectors, got {n}.")
-    centroids = X[rng.choice(n, size=k, replace=False)].astype(np.float64)
+    X64 = np.asarray(X, dtype=np.float64)
+    centroids = X64[rng.choice(n, size=k, replace=False)]
     for _ in range(n_iter):
-        d2 = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        # argmin_c ||x-c||^2 == argmin_c (||c||^2 - 2 x.c) — the ||x||^2
+        # term is constant per row; the expansion runs as one BLAS matmul,
+        # which keeps k ~ 2^10+ codebooks (large-IVF fits) tractable where
+        # the (n, k, d) broadcast difference would allocate gigabytes
+        assign = ((centroids**2).sum(axis=1) - 2.0 * (X64 @ centroids.T)).argmin(axis=1)
         for j in range(k):
-            sel = X[assign == j]
+            sel = X64[assign == j]
             if len(sel):
                 centroids[j] = sel.mean(axis=0)
     return centroids.astype(np.float32)
@@ -98,7 +102,17 @@ class ProductQuantizer:
 
     # ------------------------------ kernels ----------------------------- #
     def encode(self, X: np.ndarray) -> np.ndarray:
-        """(n, dim) float32 -> (n, M) uint8 codes."""
+        """(n, dim) float32 -> (n, M) uint8 codes.
+
+        Distances are computed as a strict sequential left fold of squared
+        differences in float64, rounded to 6 decimals before the argmin
+        (ties -> lowest code). That exact recipe is expressible in ANSI SQL
+        (`list_dot_product(diff, diff)` over literal codewords folds in the
+        same order), so code assignments are bit-reproducible by the DuckDB
+        oracle — the determinism contract every scored operator follows.
+        The BLAS expansion ||x||^2 - 2xC^T + ||c||^2 is faster but its
+        reassociated summation can flip an argmin at a rounding boundary.
+        """
         if not self.fitted:
             raise RuntimeError("Quantizer has not been fit.")
         X = np.asarray(X, dtype=np.float32)
@@ -106,13 +120,13 @@ class ProductQuantizer:
         M, Ks, dsub = self.codebooks.shape
         codes = np.empty((n, M), dtype=np.uint8)
         for m in range(M):
-            sub = X[:, m * dsub : (m + 1) * dsub]
-            d2 = (
-                (sub**2).sum(axis=1, keepdims=True)
-                - 2.0 * sub @ self.codebooks[m].T
-                + (self.codebooks[m] ** 2).sum(axis=1)[None, :]
-            )
-            codes[:, m] = d2.argmin(axis=1).astype(np.uint8)
+            sub = X[:, m * dsub : (m + 1) * dsub].astype(np.float64)
+            C = self.codebooks[m].astype(np.float64)  # (Ks, dsub)
+            d2 = np.zeros((n, Ks), dtype=np.float64)
+            for j in range(dsub):  # sequential fold over the subspace dims
+                diff = sub[:, j, None] - C[None, :, j]
+                d2 += diff * diff
+            codes[:, m] = np.round(d2, 6).argmin(axis=1).astype(np.uint8)
         return codes
 
     def decode(self, codes: np.ndarray) -> np.ndarray:

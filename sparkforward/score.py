@@ -35,8 +35,9 @@ from sparkforward.index import Mode, VectorIndex
 from sparkforward.ranking import Ranking, add_ranks
 
 
-def dot_expr(a: str, b: str):
-    """float64 dot product of two array<float> columns, JVM-side.
+def dot_expr(a, b):
+    """float64 dot product of two array<float> columns (names or Column
+    expressions), JVM-side.
 
     ``aggregate`` folds sequentially in element order — deterministic
     regardless of partitioning (unlike a shuffle-order float sum).
@@ -49,8 +50,10 @@ def dot_expr(a: str, b: str):
     serialization, so the declarative expression IS the fast batched
     matvec kernel here — Python/Arrow only pays the column transfer.
     """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -108,7 +108,12 @@ def windowed_event_stats(
             F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # one output schema for BOTH execution modes: the streaming
+            # branch converts its instant-typed window bound back to
+            # TIMESTAMP_NTZ (a wall-time reinterpretation — value-preserving
+            # because the engine pins sessions to UTC, session.py), so API
+            # consumers comparing stream vs batch output see identical types
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -249,12 +254,22 @@ def sessionize_stream(
     src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
         "ts", watermark
     )
-    return src.groupBy("user_id").applyInPandasWithState(
+    out = src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # match the batch twin's TIMESTAMP_NTZ bounds (the stateful operator
+    # needs instant-typed event time for the watermark; converting back is
+    # value-preserving under the engine's pinned-UTC sessions, session.py)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
     )
 
 

@@ -383,7 +383,10 @@ def test_resume_removes_unmanifested_bucket_data(spark, tmp_path):
     idx2 = build_inverted_index(docs, path, num_partitions=4, resume=True)
     assert idx2.postings.count() == rows_before  # no duplicated shards
     dup = (
-        idx2.postings.groupBy("term", "salt").count().filter("count > 1").count()
+        idx2.postings.groupBy("term", "salt", "block_no")
+        .count()
+        .filter("count > 1")
+        .count()
     )
     assert dup == 0
 
@@ -407,10 +410,10 @@ def test_iceberg_code_path_degrades_explicitly(spark):
     ddl = ib.posting_tables_ddl(term_buckets=128)
     assert "PARTITIONED BY (bucket(128, term))" in ddl["postings"]
     assert set(ddl) == {"postings", "terms", "pages", "vectors"}
-    # schema parity with the Parquet layout
-    from sparkforward.postings import POSTING_SCHEMA
+    # schema parity with the (block-granular) Parquet layout
+    from sparkforward.postings import BLOCK_POSTING_SCHEMA
 
-    for f in POSTING_SCHEMA.fields:
+    for f in BLOCK_POSTING_SCHEMA.fields:
         assert f.name in ddl["postings"], f.name
 
 

