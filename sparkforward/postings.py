@@ -307,6 +307,12 @@ class PostingIndex:
         self.stats = stats  # {n_docs, avgdl, k1, b, block_size}
         self.path = path
         self._term_meta: dict[str, tuple[float, int]] = {}
+        #: per-term (term, salt) shard summaries: [(salt, blocks, shard_max_z,
+        #: n_bytes, n_postings)] — memoized like _term_meta
+        self._shard_meta: dict[str, list[tuple]] = {}
+        #: per-term block metadata rows (FINE terms only — bounded by
+        #: wand.MAX_META_BLOCKS per term); memoized per distinct queried term
+        self._block_meta: dict[str, list] = {}
 
     def term_meta(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term -> (idf, n_shards) for the given terms — the serving-side
@@ -329,6 +335,56 @@ class PostingIndex:
             for t in missing:  # absent from the dictionary: pin the miss too
                 self._term_meta.setdefault(t, (0.0, 0))
         return {t: self._term_meta[t] for t in terms}
+
+    def shard_meta(self, terms: list[str]) -> dict[str, list[tuple]]:
+        """term -> [(salt, blocks, shard_max_z, n_bytes, n_postings)] from a
+        tiny metadata aggregate (block-layout index). Memoized per queried
+        term; the aggregate reads only non-blob columns."""
+        missing = [t for t in terms if t not in self._shard_meta]
+        if missing:
+            rows = (
+                self.postings.filter(F.col("term").isin(missing))
+                .groupBy("term", "salt")
+                .agg(
+                    F.count("*").alias("blocks"),
+                    F.max("max_z").alias("shard_max_z"),
+                    F.sum("n_bytes").alias("n_bytes"),
+                    F.sum("n").alias("n_postings"),
+                )
+                .collect()
+            )
+            for t in missing:
+                self._shard_meta.setdefault(t, [])
+            for r in rows:
+                self._shard_meta[r["term"]].append(
+                    (int(r["salt"]), int(r["blocks"]), float(r["shard_max_z"]),
+                     int(r["n_bytes"]), int(r["n_postings"]))
+                )
+        return {t: self._shard_meta.get(t, []) for t in terms}
+
+    def block_meta(self, terms: list[str]) -> dict[str, list]:
+        """term -> block metadata rows (no blobs — column-pruned scan).
+
+        Serving memoizes per distinct queried term, so repeated serves over
+        a hot index skip the metadata job entirely; callers bound which
+        terms they request (wand.MAX_META_BLOCKS — head terms beyond the
+        cap are planned from shard_meta aggregates instead, keeping driver
+        memory workload-bounded at any corpus size)."""
+        missing = [t for t in terms if t not in self._block_meta]
+        if missing:
+            rows = (
+                self.postings.filter(F.col("term").isin(missing))
+                .select(
+                    "term", "salt", "block_no", "n", "first_doc", "last_doc",
+                    "max_z", "min_z", "n_bytes",
+                )
+                .collect()
+            )
+            for t in missing:
+                self._block_meta.setdefault(t, [])
+            for r in rows:
+                self._block_meta[r["term"]].append(r)
+        return {t: self._block_meta.get(t, []) for t in terms}
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PostingIndex":

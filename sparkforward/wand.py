@@ -380,34 +380,63 @@ _SHARD_SCHEMA = T.StructType(
 )
 
 
+#: per-term block-metadata budget for driver-side planning: a term whose
+#: total block count exceeds this is planned from (term, salt) aggregates
+#: instead of per-block rows (its per-block pre-filter then runs as a
+#: Catalyst predicate against the fine terms' compressed doc intervals),
+#: so driver memory stays workload-bounded at ANY corpus size — a 10^12-doc
+#: head term never ships millions of metadata rows to the driver.
+MAX_META_BLOCKS = 65536
+
+#: compressed doc-interval count per fine term for the coarse-term filter
+_FINE_INTERVALS = 8
+
+
 def _serve_blocked(
-    spark, postings, term_list, meta, q_terms, q_n_serve,
+    spark, index, postings, term_list, meta, q_terms, q_n_serve,
     kk, avgdl, block_size, taat_max, acc_decoded, acc_total, io_stats, emit,
+    max_meta_blocks, legacy,
 ):
     """Block-granular serve: metadata plan -> block pre-filter -> gather.
 
-    Plan (driver, from a column-pruned metadata scan — no blob bytes read):
+    Plan (driver, from column-pruned metadata — no blob bytes read, both
+    passes memoized on the index per distinct queried term):
 
+    * **Fine/coarse split.** A tiny (term, salt) aggregate classifies each
+      query term: FINE terms (<= ``max_meta_blocks`` blocks total) ship
+      their per-block metadata to the driver; COARSE terms (Zipf heads at
+      web scale) ship only per-shard summaries — driver memory is bounded
+      by the workload's fine terms, never by a head term's posting count.
     * **θ0 per (query, serve shard)** — a sound lower bound on the shard's
-      final k-th best score, from metadata alone: take any ONE query term
-      stored at exactly the serve modulus (its shard rows hold distinct
-      docs of this residue only), walk its blocks by descending
+      final k-th best score, from metadata alone: take any ONE fine query
+      term stored at exactly the serve modulus (its shard rows hold
+      distinct docs of this residue only), walk its blocks by descending
       ``idf*min_z`` until their posting counts reach k — every doc in the
       walked blocks has FULL score >= its single-term contribution >=
       ``idf*min_z`` of the last block taken. θ0 = best such bound over
       qualifying terms; -inf (no pruning) when none reaches k postings.
-    * **Block pre-filter** — block b of term t (exact stored doc range
-      [first_b, last_b]) is gathered iff ``idf_t*max_z(b) + Σ_{t'≠t} rangemax(t', [first_b,
-      last_b]) >= θ0 - eps`` (eps = one rounding unit), where rangemax is
-      the max block score of t' over blocks overlapping b's doc range —
-      the block-max WAND bound applied statically at plan time, so a
-      common term's blocks in doc ranges the rare term never touches
-      prune away. A pruned block's docs all score < θ0 - eps, hence
+    * **Fine block pre-filter (driver)** — block b of fine term t (exact
+      stored doc range [first_b, last_b]) is gathered iff
+      ``idf_t*max_z(b) + Σ_{t'≠t} bound(t', [first_b, last_b]) >=
+      θ0 - eps`` (eps = one rounding unit), where bound is the max block
+      score of t' over blocks overlapping b's doc range (fine t') or the
+      shard-level max (coarse t') — the block-max WAND bound applied
+      statically at plan time, so a common term's blocks in doc ranges the
+      rare term never touches prune away.
+    * **Coarse block pre-filter (Catalyst)** — coarse terms' block rows are
+      filtered IN THE SCAN by the same inequality, with the fine terms'
+      contribution upper-bounded by their doc ranges compressed to
+      <= {_FINE_INTERVALS} intervals (a small literal CASE expression over
+      first_doc/last_doc — pushable against row-group statistics on the
+      block-sorted layout) and other coarse terms by their shard maxima.
+    * Soundness: a pruned block's docs all score < θ0 - eps, hence
       strictly below the >= k fully-scored docs at the ROUNDED granularity
       — dropping them (and partially mis-scoring docs that also appear in
       surviving blocks) can never change the shard's top-k. Conversely any
       doc scoring >= θ0 has every one of its blocks' UB >= θ0, so it is
-      always fully scored.
+      always fully scored. Every bound substitution above only ever GROWS
+      a block's UB, so scale approximations cost pruning power, never
+      correctness.
     * θ0 also seeds the WAND kernel's pruning threshold.
 
     Returns the per-shard result DataFrame, or None when no query term
@@ -415,107 +444,276 @@ def _serve_blocked(
     """
     from collections import defaultdict
 
-    meta_rows = (
-        postings.filter(F.col("term").isin(term_list))
-        .select("term", "salt", "block_no", "n", "first_doc", "last_doc", "max_z", "min_z", "n_bytes")
-        .collect()
-    )
-    by_term: dict[str, list] = defaultdict(list)
-    for r in meta_rows:
-        by_term[r["term"]].append(r)
     eps = 10.0 ** (-SCORE_DECIMALS)
     neg_inf = -np.inf
-    survive = []
+
+    shard = index.shard_meta(term_list)
+    tot_blocks = {t: sum(b for _s, b, _m, _by, _n in shard[t]) for t in term_list}
+    if legacy:
+        # a legacy (n_shards-less) block index has arbitrary salt ids that
+        # the coarse join below cannot address — plan everything fine
+        fine_terms = [t for t in term_list if shard[t]]
+    else:
+        fine_terms = [
+            t for t in term_list if shard[t] and tot_blocks[t] <= int(max_meta_blocks)
+        ]
+    fine_set = set(fine_terms)
+    coarse_terms = [t for t in term_list if shard[t] and t not in fine_set]
+    by_term = index.block_meta(fine_terms)
+
+    def coarse_shardmax(t: str, s: int) -> float:
+        m_t = meta[t][1]
+        best = 0.0
+        for salt, _b, mz, _by, _n in shard[t]:
+            if salt % m_t == s % m_t:
+                best = max(best, meta[t][0] * mz)
+        return best
+
+    def coarse_shardbytes(t: str, s: int) -> int:
+        m_t = meta[t][1]
+        return sum(by for salt, _b, _m, by, _n in shard[t] if salt % m_t == s % m_t)
+
+    # ------- per-(term, salt) numpy series + sparse range-max tables ------ #
+    # Built ONCE per call; the per-(query, shard) planning below is then
+    # fully vectorized (batched searchsorted + O(1) range-max queries), so
+    # plan time is ~|blocks| log |blocks|, not a Python loop per block pair.
+    def _levels(a: np.ndarray) -> list[np.ndarray]:
+        lv = [a]
+        w = 1
+        while 2 * w <= len(a):
+            p = lv[-1]
+            lv.append(np.maximum(p[: len(p) - w], p[w:]))
+            w *= 2
+        return lv
+
+    def _rmq(levels: list[np.ndarray], i0: np.ndarray, i1: np.ndarray) -> np.ndarray:
+        """Vectorized max over [i0[i], i1[i]) per element; 0.0 when empty."""
+        out = np.zeros(len(i0), dtype=np.float64)
+        n = i1 - i0
+        valid = n > 0
+        if not valid.any():
+            return out
+        a0, a1, nn = i0[valid], i1[valid], n[valid]
+        j = np.frexp(nn.astype(np.float64))[1] - 1  # floor(log2(n))
+        res = np.empty(len(a0), dtype=np.float64)
+        for jj in np.unique(j):
+            sel = j == jj
+            lev, w = levels[int(jj)], 1 << int(jj)
+            res[sel] = np.maximum(lev[a0[sel]], lev[a1[sel] - w])
+        out[valid] = res
+        return out
+
+    fine_series: dict[str, dict[int, dict]] = {}
+    for t in fine_terms:
+        idf_t = meta[t][0]
+        by_salt: dict[int, list] = defaultdict(list)
+        for r in by_term[t]:
+            by_salt[r["salt"]].append(r)
+        fine_series[t] = {}
+        for salt, rows in by_salt.items():
+            rows.sort(key=lambda r: r["block_no"])
+            scores = np.asarray([idf_t * r["max_z"] for r in rows], dtype=np.float64)
+            fine_series[t][salt] = {
+                "firsts": np.asarray([r["first_doc"] for r in rows], dtype=np.int64),
+                "lasts": np.asarray([r["last_doc"] for r in rows], dtype=np.int64),
+                "scores": scores,
+                "levels": _levels(scores),
+                "mins": np.asarray([idf_t * r["min_z"] for r in rows], dtype=np.float64),
+                "ns": np.asarray([r["n"] for r in rows], dtype=np.int64),
+                "nbytes": np.asarray([r["n_bytes"] for r in rows], dtype=np.int64),
+                "rows": rows,
+            }
+
+    def _salts_for(t: str, s: int) -> list[int]:
+        # salt % m == s % m keeps every residue class serving shard s; for
+        # modulus-1 terms that is ALL salts (the legacy-layout case —
+        # distinct salts become distinct cursors, exact because per-term
+        # salts are doc-disjoint)
+        m_t = meta[t][1]
+        return [salt for salt in fine_series.get(t, {}) if salt % m_t == s % m_t]
+
+    _theta_memo: dict[tuple, float] = {}
+
+    def _theta_anchor(t: str, s: int) -> float:
+        """Best k-coverage lower bound from t's blocks serving shard s."""
+        m_t = meta[t][1]
+        key = (t, s % m_t)
+        hit = _theta_memo.get(key)
+        if hit is not None:
+            return hit
+        mins = [fine_series[t][salt]["mins"] for salt in _salts_for(t, s)]
+        ns = [fine_series[t][salt]["ns"] for salt in _salts_for(t, s)]
+        val = neg_inf
+        if mins:
+            m_all = np.concatenate(mins)
+            n_all = np.concatenate(ns)
+            order = np.argsort(-m_all, kind="stable")
+            csum = np.cumsum(n_all[order])
+            pos = int(np.searchsorted(csum, kk))
+            if pos < len(csum):
+                val = float(m_all[order][pos])
+        _theta_memo[key] = val
+        return val
+
+    survive = []      # per-BLOCK keys: series that were partially pruned
+    whole_rows = []   # per-(term, salt) keys: series gathered in full
+    coarse_rows = []
     bytes_total = 0
     bytes_gathered = 0
     for q, ts in q_terms.items():
         m_serve = q_n_serve[q]
+        ts_fine = [t for t in ts if t in fine_set]
+        ts_coarse = [t for t in ts if t not in fine_set]
         for s in range(m_serve):
-            # salt % m == s % m keeps every row whose residue class serves
-            # shard s; for modulus-1 terms that is ALL rows regardless of
-            # stored salt (the legacy-layout case — distinct salts become
-            # distinct cursors, exact because per-term salts are doc-disjoint)
-            rows_ts = {
-                t: [r for r in by_term[t] if r["salt"] % meta[t][1] == s % meta[t][1]]
-                for t in ts
-            }
             theta = neg_inf
-            for t in ts:
+            for t in ts_fine:
                 if meta[t][1] != m_serve:
                     continue  # coarser-modulus rows mix residues: unusable
-                idf_t = meta[t][0]
-                cnt = 0
-                for r in sorted(rows_ts[t], key=lambda r: -r["min_z"]):
-                    cnt += r["n"]
-                    if cnt >= kk:
-                        theta = max(theta, idf_t * r["min_z"])
-                        break
-            # per-(term, salt) block series sorted by block_no: (firsts,
-            # lasts, scores) with firsts = prev last + 1 (conservative)
-            series: dict[str, list] = {}
-            for t in ts:
-                idf_t = meta[t][0]
-                by_salt: dict[int, list] = defaultdict(list)
-                for r in rows_ts[t]:
-                    by_salt[r["salt"]].append(r)
-                ss = []
-                for rows in by_salt.values():
-                    rows.sort(key=lambda r: r["block_no"])
-                    lasts = np.asarray([r["last_doc"] for r in rows], dtype=np.int64)
-                    firsts = np.asarray([r["first_doc"] for r in rows], dtype=np.int64)
-                    scores = np.asarray(
-                        [idf_t * r["max_z"] for r in rows], dtype=np.float64
-                    )
-                    ss.append((firsts, lasts, scores, rows))
-                series[t] = ss
-
-            def rangemax(t: str, lo: int, hi: int) -> float:
-                best = 0.0
-                for firsts, lasts, scores, _rows in series[t]:
-                    i0 = int(np.searchsorted(lasts, lo, side="left"))
-                    i1 = int(np.searchsorted(firsts, hi, side="right"))
-                    if i0 < i1:
-                        m = float(scores[i0:i1].max())
-                        if m > best:
-                            best = m
-                return best
-
-            for t in ts:
-                idf_t = meta[t][0]
-                others = [t2 for t2 in ts if t2 != t]
-                for firsts, lasts, _scores, rows in series[t]:
-                    for i, r in enumerate(rows):
-                        bytes_total += r["n_bytes"]
-                        if theta != neg_inf:
-                            lo, hi = int(firsts[i]), int(lasts[i])
-                            ub = idf_t * r["max_z"] + sum(
-                                rangemax(t2, lo, hi) for t2 in others
-                            )
-                            if ub < theta - eps:
-                                continue  # provably outside the top-k: skip bytes
-                        survive.append(
-                            (q, int(s), t, int(r["salt"]), int(r["block_no"]),
-                             float(idf_t), int(m_serve), float(theta))
+                theta = max(theta, _theta_anchor(t, s))
+            coarse_contrib = sum(coarse_shardmax(t2, s) for t2 in ts_coarse)
+            for t in ts_fine:
+                others = [t2 for t2 in ts_fine if t2 != t]
+                for salt in _salts_for(t, s):
+                    ser = fine_series[t][salt]
+                    nbytes = ser["nbytes"]
+                    bytes_total += int(nbytes.sum())
+                    keep = None
+                    if theta != neg_inf:
+                        ub = ser["scores"] + coarse_contrib
+                        for t2 in others:
+                            contrib2 = None
+                            for salt2 in _salts_for(t2, s):
+                                ser2 = fine_series[t2][salt2]
+                                i0 = np.searchsorted(
+                                    ser2["lasts"], ser["firsts"], side="left"
+                                )
+                                i1 = np.searchsorted(
+                                    ser2["firsts"], ser["lasts"], side="right"
+                                )
+                                rm = _rmq(ser2["levels"], i0, i1)
+                                contrib2 = rm if contrib2 is None else np.maximum(contrib2, rm)
+                            if contrib2 is not None:
+                                ub = ub + contrib2
+                        keep = ub >= theta - eps
+                    if keep is None or keep.all():
+                        # nothing pruned: ONE (term, salt) key instead of a
+                        # key per block — the common case stays cheap (the
+                        # skey broadcast is O(series), not O(blocks))
+                        whole_rows.append(
+                            (q, int(s), t, int(salt),
+                             float(meta[t][0]), int(m_serve), float(theta))
                         )
-                        bytes_gathered += r["n_bytes"]
+                        bytes_gathered += int(nbytes.sum())
+                        continue
+                    rows = ser["rows"]
+                    for i in np.nonzero(keep)[0]:
+                        r = rows[int(i)]
+                        survive.append(
+                            (q, int(s), t, int(salt), int(r["block_no"]),
+                             float(meta[t][0]), int(m_serve), float(theta))
+                        )
+                    bytes_gathered += int(nbytes[keep].sum())
+            for t in ts_coarse:
+                # cother excludes t itself AND every fine term (fine terms
+                # enter the Catalyst predicate per-row via their intervals)
+                cother = coarse_contrib - coarse_shardmax(t, s)
+                coarse_rows.append(
+                    (q, int(s), t, int(s % meta[t][1]), float(meta[t][0]),
+                     int(m_serve), float(theta), float(cother))
+                )
+                # conservatively count coarse bytes as gathered (the
+                # Catalyst-side filter may prune more at scan time)
+                cb = coarse_shardbytes(t, s)
+                bytes_total += cb
+                bytes_gathered += cb
     if io_stats is not None:
         io_stats.update(
             {
                 "bytes_total": int(bytes_total),
                 "bytes_gathered": int(bytes_gathered),
                 "bytes_fraction": (bytes_gathered / bytes_total) if bytes_total else 1.0,
+                "coarse_terms": len(coarse_terms),
             }
         )
-    if not survive:
+    if not survive and not whole_rows and not coarse_rows:
         return None
-    skey = spark.createDataFrame(
-        survive,
-        "q_id string, serve_shard int, term string, salt int, block_no int, "
-        "idf double, q_n_serve int, theta double",
-    )
-    gathered = postings.filter(F.col("term").isin(term_list)).join(
-        F.broadcast(skey), ["term", "salt", "block_no"]
-    )
+
+    parts = []
+    sel_cols = [
+        "term", "salt", "block_no", "n", "first_doc", "last_doc",
+        "max_z", "min_z", "n_bytes", "doc_blob", "tf_blob", "dl_blob",
+        "q_id", "serve_shard", "idf", "q_n_serve", "theta",
+    ]
+    if survive:
+        skey = spark.createDataFrame(
+            survive,
+            "q_id string, serve_shard int, term string, salt int, block_no int, "
+            "idf double, q_n_serve int, theta double",
+        )
+        parts.append(
+            postings.filter(F.col("term").isin(fine_terms))
+            .join(F.broadcast(skey), ["term", "salt", "block_no"])
+            .select(*sel_cols)
+        )
+    if whole_rows:
+        wkey = spark.createDataFrame(
+            whole_rows,
+            "q_id string, serve_shard int, term string, salt int, "
+            "idf double, q_n_serve int, theta double",
+        )
+        parts.append(
+            postings.filter(F.col("term").isin(fine_terms))
+            .join(F.broadcast(wkey), ["term", "salt"])
+            .select(*sel_cols)
+        )
+    if coarse_rows:
+        # fine terms' doc ranges compressed to a few intervals each: the
+        # per-row upper bound on their contribution to any doc in
+        # [first_doc, last_doc] — literal CASE expressions, evaluable (and
+        # row-group-prunable) inside the scan
+        contrib = F.lit(0.0)
+        for t in fine_terms:
+            rows = sorted(by_term[t], key=lambda r: r["first_doc"])
+            if not rows:
+                continue
+            idf_t = meta[t][0]
+            n_iv = min(_FINE_INTERVALS, len(rows))
+            step = -(-len(rows) // n_iv)
+            cases = [F.lit(0.0)]
+            for i in range(0, len(rows), step):
+                chunk = rows[i : i + step]
+                lo = min(r["first_doc"] for r in chunk)
+                hi = max(r["last_doc"] for r in chunk)
+                m = idf_t * max(r["max_z"] for r in chunk)
+                cases.append(
+                    F.when(
+                        (F.col("first_doc") <= F.lit(int(hi)))
+                        & (F.col("last_doc") >= F.lit(int(lo))),
+                        F.lit(float(m)),
+                    ).otherwise(F.lit(0.0))
+                )
+            contrib = contrib + F.greatest(*cases)
+        ckey = spark.createDataFrame(
+            coarse_rows,
+            "q_id string, serve_shard int, term string, salt int, "
+            "idf double, q_n_serve int, theta double, cother double",
+        )
+        cg = (
+            postings.filter(F.col("term").isin(coarse_terms))
+            .join(F.broadcast(ckey), ["term", "salt"])
+            .filter(
+                (F.col("theta") == F.lit(float("-inf")))
+                | (
+                    F.col("idf") * F.col("max_z") + F.col("cother") + contrib
+                    >= F.col("theta") - F.lit(eps)
+                )
+            )
+            .select(*sel_cols)
+        )
+        parts.append(cg)
+    gathered = parts[0]
+    for p in parts[1:]:
+        gathered = gathered.unionByName(p)
 
     def serve_blocks(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         q_id, shard = key
@@ -580,6 +778,7 @@ def wand_topk(
     taat_max_postings: int | None = None,
     block_stats: tuple | None = None,
     io_stats: dict | None = None,
+    max_meta_blocks: int | None = None,
 ) -> DataFrame:
     """(q_id, id, rank, score) — doc-disjoint partition-parallel serving.
 
@@ -602,6 +801,11 @@ def wand_topk(
     ``io_stats``: a dict the planner fills with ``bytes_total`` /
     ``bytes_gathered`` / ``bytes_fraction`` (blob bytes of the query's
     blocks vs bytes that survive the pre-filter into the gather).
+    ``max_meta_blocks``: per-term driver-side planning budget (default
+    :data:`MAX_META_BLOCKS`); terms above it are planned from (term, salt)
+    aggregates with a Catalyst-side block filter — see
+    :func:`_serve_blocked`. Both metadata passes are memoized on the index
+    per distinct queried term, so repeated serves skip the planning jobs.
 
     Postings are pruned to query terms before any decode via a pushed-down
     In-filter on the term-sorted scan. A query is then served as
@@ -700,9 +904,11 @@ def wand_topk(
 
     if "block_no" in postings.columns:
         per_shard = _serve_blocked(
-            spark, postings, term_list, meta, q_terms, q_n_serve,
+            spark, index, postings, term_list, meta, q_terms, q_n_serve,
             kk, avgdl, block_size, taat_max, acc_decoded, acc_total,
             io_stats, _emit,
+            MAX_META_BLOCKS if max_meta_blocks is None else int(max_meta_blocks),
+            legacy,
         )
         if per_shard is None:
             return spark.createDataFrame([], RESULT_SCHEMA)

@@ -610,6 +610,65 @@ def test_block_prefilter_skips_bytes_and_stays_exact(spark, tmp_path):
     pd.testing.assert_frame_equal(got2, expected2, check_dtype=False)
 
 
+def test_coarse_term_planning_equals_fine(spark, tmp_path):
+    """Scale path for head terms (bounded driver metadata): forcing a tiny
+    per-term block budget makes every multi-block term COARSE — planned
+    from (term, salt) aggregates with the Catalyst-side interval filter —
+    and the served ranking must be identical to the all-fine plan and to
+    exhaustive BM25. Runs on the clustered rare-term corpus so the coarse
+    head terms are exactly the ones the interval filter prunes."""
+    import numpy as np
+
+    from sparkforward.bm25 import bm25_topk
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(600):
+        toks = list(rng.choice([f"c{j}" for j in range(5)], size=20))
+        if 200 <= i < 212:
+            toks += ["rarezz"] * 5
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_inverted_index(
+        docs.repartition(3), str(tmp_path / "ct"), num_partitions=3, block_size=8,
+        salt_threshold=100, n_salt=4, target_shard_postings=200,
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "rarezz c0"), ("q2", "c1 c2"), ("q3", "rarezz c3 c4")],
+        "q_id string, query string",
+    )
+
+    def norm(df):
+        return df.toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+    io_fine: dict = {}
+    fine = norm(wand_topk(index, qdf, k=5, io_stats=io_fine))
+    io_coarse: dict = {}
+    coarse = norm(
+        wand_topk(index, qdf, k=5, io_stats=io_coarse, max_meta_blocks=2)
+    )
+    assert io_fine.get("coarse_terms", 0) == 0
+    assert io_coarse["coarse_terms"] > 0  # head terms really went coarse
+    pd.testing.assert_frame_equal(fine, coarse)
+    expected = norm(bm25_topk(docs, qdf, k=5))
+    pd.testing.assert_frame_equal(coarse, expected, check_dtype=False)
+
+
+def test_block_meta_cached_per_term(spark, tmp_path):
+    """Repeated serves reuse the memoized metadata (no re-collect): the
+    planning caches grow once per distinct queried term."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    index = build_inverted_index(docs, str(tmp_path / "mc"), num_partitions=2)
+    qdf = spark.createDataFrame([("q1", "spark query")], "q_id string, query string")
+    wand_topk(index, qdf, k=5).collect()
+    n_shard = len(index._shard_meta)
+    n_block = len(index._block_meta)
+    assert n_shard > 0 and n_block > 0
+    wand_topk(index, qdf, k=5).collect()
+    assert len(index._shard_meta) == n_shard
+    assert len(index._block_meta) == n_block
+
+
 def test_wand_serve_fuzz_equals_exhaustive_bm25(spark, tmp_path):
     """Seeded end-to-end serve fuzz: random tiny corpora and random
     queries — the full build+serve path (salting, doc shards, block-max

@@ -188,8 +188,16 @@ serving from the compressed index) and `query_p95_sec`.
 Generated by tools/bench_scaling.py (seed-deterministic input; re-runnable).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(report)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the per-round notes sections that follow the generated part
+    tail = ""
+    if os.path.exists(target):
+        old = open(target).read()
+        idx = old.find("\n## Round-")
+        if idx != -1:
+            tail = old[idx:]
+    with open(target, "w") as fh:
+        fh.write(report + tail)
     print(f"efficiency 2->8={eff_28:.3f}  8->32={eff_832:.3f}")
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
         json.dump(
