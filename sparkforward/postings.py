@@ -23,10 +23,13 @@ This is the native first-stage engine the reference borrows from PyTerrier
   store the **exact BM25 upper bound** (idf and avgdl are known at build
   time), so WAND pruning is lossless: final scores are recomputed from raw
   tf/dl with the same float64 formula as the exhaustive scorer.
-* Output is Parquet sorted by term within partitions (row-group min/max
-  pruning on term ≈ the posting dictionary); ``terms.parquet`` carries
-  (term, df, idf); ``stats.json`` carries (N, avgdl, k1, b). On Iceberg the
-  same layout maps to a table partitioned by ``bucket(term)``.
+* Output is BLOCK-granular Parquet — one row per (term, salt, block) with
+  doc-range and score-bound metadata next to the blob slice — sorted by
+  (term, salt, block_no) within partitions (row-group min/max pruning on
+  term ≈ the posting dictionary; serving's metadata pass reads only the
+  non-blob columns). ``terms.parquet`` carries (term, df, idf, n_shards);
+  ``stats.json`` carries (N, avgdl, k1, b, layout). On Iceberg the same
+  layout maps to a table partitioned by ``bucket(term)``.
 * The build is **resumable**: each shuffle partition writes through
   ``checkpoint.partition_manifest`` with lineage + metrics, and a restarted
   build skips completed partitions (see checkpoint.py).

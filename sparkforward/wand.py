@@ -1,30 +1,38 @@
-"""Top-k BM25 serving over the posting index: block-max WAND, DAAT,
-**lazy block decoding**.
+"""Top-k BM25 serving over the posting index: metadata-planned I/O,
+block-max WAND, DAAT, **lazy block decoding**.
 
-Per query: postings of the query's terms are gathered with a driver-known
+Per query: a metadata-only pass over the block-granular index (parquet
+column pruning — blob pages unread; memoized per term) plans which blocks
+to gather at all; the gather joins surviving blocks against a driver-known
 ``In(term, ...)`` predicate (pushed into the parquet scan — row-group
-min/max pruning on the sorted ``term`` column) plus a broadcast join for
-per-term idf; a document-at-a-time WAND traversal with block-max skipping
-produces the top-k.
+min/max pruning on the sorted ``term`` column) plus broadcast key tables; a
+document-at-a-time WAND traversal with block-max skipping produces the
+top-k.
 
-Two properties make this the 10^12-doc shape:
+Three properties make this the 10^12-doc shape:
 
 * **Serving is doc-disjoint parallel.** Terms are stored in power-of-two
   doc-modulo shards (postings.py); a query fans out as one task per serve
   shard, each traversing only docs of its residue class, and the per-shard
   top-k merge is exact because shards are doc-disjoint. One hot query uses
   the whole cluster instead of one Python worker.
-* **Blocks decode lazily.** Blobs are block-addressable (per-block byte
-  offsets; doc deltas restart per block — postings.encode_posting_list), so
-  ``seek`` jumps via binary search over ``block_last_doc`` and only the
-  blocks a cursor actually enters are ever decompressed. Serving cost is
-  O(blocks touched), not O(df).
+* **Pruned blocks are pruned BYTES.** The planner lower-bounds the final
+  k-th score from block minima and drops blocks whose doc-range-aware upper
+  bound cannot reach it BEFORE the gather (_serve_blocked) — at the
+  10^9-posting tier the saving is I/O, not just decode. Driver metadata is
+  workload-bounded: head terms above MAX_META_BLOCKS plan from per-shard
+  aggregates with the filter pushed into Catalyst.
+* **Blocks decode lazily.** Blocks are self-contained (doc deltas restart
+  per block — postings.encode_posting_list), so ``seek`` jumps via binary
+  search over block-last metadata and only the blocks a cursor actually
+  enters are ever decompressed. Serving cost is O(blocks touched), not
+  O(df).
 
-Pruning is **lossless**: block maxima are exact BM25 upper bounds computed
-at build time, and surviving documents are re-scored from raw (tf, dl) with
-the identical float64 formula as the exhaustive scorer — so
-``wand_topk == bm25_topk`` holds exactly at the rounded-score granularity
-(it is the driver's oracle check for this query).
+Pruning is **lossless** at every layer: block bounds are exact BM25 upper
+bounds computed at build time, and surviving documents are re-scored from
+raw (tf, dl) with the identical float64 formula as the exhaustive scorer —
+so ``wand_topk == bm25_topk`` holds exactly at the rounded-score
+granularity (it is the driver's oracle check for this query).
 """
 
 from __future__ import annotations
