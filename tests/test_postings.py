@@ -212,6 +212,48 @@ def test_varbyte_property_roundtrip():
     roundtrip()
 
 
+def test_encode_posting_blocks_property_slices():
+    """Block rows are EXACT slices of the whole-row encoding: concatenating
+    every block's blobs reproduces encode_posting_list's streams byte for
+    byte, per-block (n, first_doc, last_doc, max_z, min_z) match the
+    whole-row metadata, and each block decodes standalone."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkforward.postings import encode_posting_blocks, encode_posting_list
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=10**12),
+            min_size=1, max_size=300, unique=True,
+        ),
+        st.sampled_from([4, 7, 128]),
+    )
+    def check(doc_ids, block_size):
+        d = np.sort(np.asarray(doc_ids, dtype=np.int64))
+        tf = np.full(len(d), 3, dtype=np.int64)
+        dl = np.full(len(d), 40, dtype=np.int64)
+        whole = encode_posting_list(d, tf, dl, avgdl=70.0, block_size=block_size)
+        blocks = encode_posting_blocks(d, tf, dl, avgdl=70.0, block_size=block_size)
+        assert b"".join(b["doc_blob"] for b in blocks) == whole["doc_blob"]
+        assert b"".join(b["tf_blob"] for b in blocks) == whole["tf_blob"]
+        assert b"".join(b["dl_blob"] for b in blocks) == whole["dl_blob"]
+        assert [b["last_doc"] for b in blocks] == whole["block_last_doc"]
+        assert [b["first_doc"] for b in blocks] == whole["block_first_doc"]
+        assert [b["max_z"] for b in blocks] == whole["block_max_z"]
+        assert [b["min_z"] for b in blocks] == whole["block_min_z"]
+        assert sum(b["n"] for b in blocks) == whole["n"]
+        # standalone decode of each block recovers its doc slice
+        off = 0
+        for b in blocks:
+            got = np.cumsum(varbyte_decode(b["doc_blob"]))
+            np.testing.assert_array_equal(got, d[off : off + b["n"]])
+            off += b["n"]
+
+    check()
+
+
 def test_blocked_posting_property_roundtrip():
     from hypothesis import given, settings
     from hypothesis import strategies as st
