@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q.q_dedup_embedding_lsh,
         "doc_fingerprint": q.q_doc_fingerprint,
         "dedup_simhash": q.q_dedup_simhash,
+        # duplicate clustering: connected components over the pair set
+        "dedup_clusters": q.q_dedup_clusters,
         # events / streaming analytics (batch modes of the streaming ops)
         "event_window": q.q_event_window,
         "user_sessions": q.q_user_sessions,
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": q.sql_dedup_embedding_lsh(),
         "doc_fingerprint": q.sql_doc_fingerprint(),
         "dedup_simhash": q.sql_dedup_simhash(),
+        "dedup_clusters": q.sql_dedup_clusters(),
         "event_window": q.sql_event_window(),
         "user_sessions": q.sql_user_sessions(),
         "token_count": q.sql_token_count(),

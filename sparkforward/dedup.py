@@ -649,6 +649,94 @@ def _pack_blocks(cols):
     return key.cast("bigint")
 
 
+# ----------------------------------------------- duplicate clustering #
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_rep) — connected components over a near-duplicate
+    pair set; ``cluster_rep`` = min doc id of the component. The canonical
+    "which duplicates to DROP" step of a training-data pipeline: keep
+    exactly the rows with ``doc_id == cluster_rep``.
+
+    Distributed min-label propagation with POINTER JUMPING: each round
+    takes the min label over the node and its neighbors, then contracts
+    ``label(v) <- label(label(v))`` (path halving), so convergence is
+    O(log n) rounds — not graph-diameter — and each round is two hash
+    joins + one aggregation. Every round ``localCheckpoint``s the label
+    table (plan truncation, the round-2 lesson for iterative loops) and
+    convergence is detected by the monotone non-increasing label sum (one
+    tiny aggregate per round). Docs with no duplicate pair are their own
+    singleton component. Cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (the two-phase star-contraction family).
+    """
+    from sparkforward.score import _persistent_rdd_ids, _release_persistent_rdds
+
+    spark = pairs.sparkSession
+
+    def _ckpt(df):
+        before = _persistent_rdd_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_rdd_ids(spark) - before
+
+    sym, sym_ids = _ckpt(
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("src"),
+            F.col(id_b).cast("bigint").alias("dst"),
+        ).unionByName(
+            pairs.select(
+                F.col(id_b).cast("bigint").alias("src"),
+                F.col(id_a).cast("bigint").alias("dst"),
+            )
+        )
+    )
+    labels, lab_ids = _ckpt(
+        nodes.select(
+            F.col(node_col).cast("bigint").alias("id"),
+            F.col(node_col).cast("bigint").alias("label"),
+        )
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(int(max_iter)):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+        )
+        # pointer jumping: label(v) <- label(label(v))
+        l2 = merged.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
+        new_labels, new_ids = _ckpt(
+            merged.join(l2, merged.label == l2._lid)
+            .select("id", F.col("_llabel").alias("label"))
+        )
+        # the new eager checkpoint truncated its lineage: the previous
+        # round's checkpoint storage releases immediately (iterative
+        # operators must not accrete executor storage — the ES lesson)
+        _release_persistent_rdds(spark, lab_ids)
+        labels, lab_ids = new_labels, new_ids
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    _release_persistent_rdds(spark, sym_ids)
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+    # the result is backed by the final label checkpoint (its lineage is
+    # truncated — it cannot be recomputed); long-lived services can free it
+    # after consuming via score._release_persistent_rdds(spark, owned)
+    out._sfwd_owned_rdd_ids = lab_ids
+    return out
+
+
 def simhash_neardup_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
     """DuckDB oracle for :func:`simhash_near_duplicates`.
 

@@ -1096,6 +1096,39 @@ def sql_dedup_simhash() -> str:
     return simhash_neardup_sql()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — the "which docs to drop" step of
+    a training-data pipeline: connected components (pointer-jumping
+    min-label propagation, dedup.connected_components) over the
+    oracle-gated SimHash pair set; every document gets a ``cluster_rep``
+    (= min doc id of its component; singletons are their own rep), and the
+    deduplicated corpus is exactly ``doc_id == cluster_rep``."""
+    from sparkforward.dedup import connected_components, simhash_near_duplicates
+
+    docs = load_documents(spark, sf_dir)
+    pairs = simhash_near_duplicates(docs)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
+def sql_dedup_clusters() -> str:
+    """Recursive-CTE oracle: transitive closure over the symmetric SimHash
+    pair set seeded with every document; component rep = min reachable id."""
+    from sparkforward.dedup import simhash_neardup_sql
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({simhash_neardup_sql()}) q),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY id
+"""
+
+
 def sql_doc_fingerprint() -> str:
     from sparkforward.dedup import DOC_FINGERPRINT_SQL
 

@@ -422,6 +422,48 @@ def test_simhash_near_duplicates_hamming_zero(spark):
     assert set(got["hamming"]) <= {0}
 
 
+def test_connected_components_chain_and_singletons(spark):
+    """Cluster assignment: a long chain (worst case for naive neighbor
+    propagation — pointer jumping must converge in O(log n) rounds, pinned
+    via max_iter), a separate triangle, and singletons each resolve to the
+    component-minimum representative."""
+    import math
+
+    from sparkforward.dedup import connected_components
+
+    n_chain = 40
+    chain = [(i, i + 1) for i in range(n_chain)]          # 0-1-2-...-40
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n_chain + 1)] + [(100,), (101,), (102,), (200,), (201,)],
+        "doc_id long",
+    )
+    # log2(41) ~ 5.4: pointer jumping needs ~2*log rounds, far below 50 —
+    # and FAR below the chain length a pure neighbor-min walk would need
+    out = connected_components(
+        pairs, nodes, max_iter=2 * int(math.log2(n_chain)) + 4
+    ).toPandas()
+    got = dict(zip(out["doc_id"], out["cluster_rep"]))
+    assert all(got[i] == 0 for i in range(n_chain + 1))
+    assert got[100] == got[101] == got[102] == 100
+    assert got[200] == 200 and got[201] == 201  # singletons keep themselves
+    # empty pair set: every node is its own rep
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out2 = connected_components(empty, nodes).toPandas()
+    assert (out2["doc_id"] == out2["cluster_rep"]).all()
+
+    # iterative clustering must not accrete executor storage: after
+    # releasing the result's owned checkpoint, net persisted RDDs == 0
+    from sparkforward.score import _persistent_rdd_ids, _release_persistent_rdds
+
+    pre = _persistent_rdd_ids(spark)
+    out3 = connected_components(pairs, nodes)
+    assert out3.count() > 0
+    _release_persistent_rdds(spark, out3._sfwd_owned_rdd_ids)
+    assert _persistent_rdd_ids(spark) == pre
+
+
 def test_ivf_topk_recall_and_probe_pruning(spark):
     """IVF ANN: recall vs the exact baseline stays above the floor at
     n_probe/n_centroids = 4/16 (measured 0.92 on both fixture SFs), and
