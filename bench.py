@@ -203,6 +203,18 @@ def main() -> None:
         simhash_near_duplicates(docs).write.format("noop").mode("overwrite").save()
         lat_sh.append(time.perf_counter() - t0)
     pipeline_100k["dedup_simhash_sec"] = round(min(lat_sh), 3)
+    # cluster assignment over the 100k pair set (the full "which docs to
+    # drop" pipeline); pairs materialized first so this times the
+    # connected-components rounds, not the SimHash recompute
+    from sparkforward.dedup import connected_components
+
+    pairs_ck = simhash_near_duplicates(docs).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    (
+        connected_components(pairs_ck, docs.select("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    pipeline_100k["dedup_clusters_sec"] = round(time.perf_counter() - t0, 3)
 
     deep: dict[str, float] = {}
     # Deep re-rank pair: the regime early stopping exists for. 16 queries x
