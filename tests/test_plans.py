@@ -84,6 +84,20 @@ def docs_index(spark, tmp_path_factory):
     return index, qdf
 
 
+def test_blocked_gather_joins_are_broadcast(spark, docs_index):
+    """The block-granular serve's key tables (surviving blocks /
+    whole-series / coarse) must join the postings scan as broadcast hash
+    joins — a sort-merge of the posting table against a handful of planner
+    keys would shuffle the blobs."""
+    from sparkforward.wand import wand_topk
+
+    index, qdf = docs_index
+    plan = _plan(wand_topk(index, qdf, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interpolate_uses_broadcast_hash_joins(spark):
     """The flagship candidate gather must be hash/broadcast joins — the
     query-vector side explicitly broadcast, never shuffled as sort-merge."""

@@ -694,6 +694,10 @@ def test_coarse_term_planning_equals_fine(spark, tmp_path):
     pd.testing.assert_frame_equal(fine, coarse)
     expected = norm(bm25_topk(docs, qdf, k=5))
     pd.testing.assert_frame_equal(coarse, expected, check_dtype=False)
+    # degenerate budget: EVERY term coarse -> no θ0 anchor exists, nothing
+    # prunes, the all-Catalyst path still serves the exact ranking
+    all_coarse = norm(wand_topk(index, qdf, k=5, max_meta_blocks=0))
+    pd.testing.assert_frame_equal(all_coarse, expected, check_dtype=False)
 
 
 def test_block_meta_cached_per_term(spark, tmp_path):
