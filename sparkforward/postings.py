@@ -316,6 +316,8 @@ class PostingIndex:
         #: per-term block metadata rows (FINE terms only — bounded by
         #: wand.MAX_META_BLOCKS per term); memoized per distinct queried term
         self._block_meta: dict[str, list] = {}
+        #: term -> largest cap at which its block count overflowed
+        self._block_overflow: dict[str, int] = {}
 
     def term_meta(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term -> (idf, n_shards) for the given terms — the serving-side
@@ -388,6 +390,59 @@ class PostingIndex:
             for r in rows:
                 self._block_meta[r["term"]].append(r)
         return {t: self._block_meta.get(t, []) for t in terms}
+
+    def capped_block_meta(
+        self, terms: list[str], cap: int
+    ) -> tuple[dict[str, list], set[str]]:
+        """(term -> block rows, overflowed terms) in ONE metadata job.
+
+        A windowed row cap collects at most ``cap + 1`` block-metadata rows
+        per term; a term that hits ``cap + 1`` is OVERFLOWED — the serve
+        plans it from :meth:`shard_meta` aggregates instead (and its
+        partial rows are discarded). Fine terms' rows memoize exactly like
+        :meth:`block_meta`; overflow verdicts memoize per (term, cap seen)
+        so a later call with a LARGER budget re-collects.
+        """
+        if not hasattr(self, "_block_overflow"):
+            self._block_overflow: dict[str, int] = {}
+        cap = int(cap)
+        over = {
+            t for t in terms
+            if (t in self._block_overflow and self._block_overflow[t] >= cap)
+            # fully-cached terms re-classify against THIS call's budget
+            or (t in self._block_meta and len(self._block_meta[t]) > cap)
+        }
+        missing = [
+            t for t in terms if t not in self._block_meta and t not in over
+        ]
+        if missing:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("term").orderBy("salt", "block_no")
+            rows = (
+                self.postings.filter(F.col("term").isin(missing))
+                .select(
+                    "term", "salt", "block_no", "n", "first_doc", "last_doc",
+                    "max_z", "min_z", "n_bytes",
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap + 1)
+                .collect()
+            )
+            got: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                got[r["term"]].append(r)
+            for t, rs in got.items():
+                if len(rs) > cap:
+                    self._block_overflow[t] = cap
+                    self._block_meta.pop(t, None)
+                    over.add(t)
+                else:
+                    self._block_meta[t] = rs
+        return (
+            {t: self._block_meta.get(t, []) for t in terms if t not in over},
+            {t for t in terms if t in over},
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "PostingIndex":

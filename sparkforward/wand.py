@@ -455,19 +455,18 @@ def _serve_blocked(
     eps = 10.0 ** (-SCORE_DECIMALS)
     neg_inf = -np.inf
 
-    shard = index.shard_meta(term_list)
-    tot_blocks = {t: sum(b for _s, b, _m, _by, _n in shard[t]) for t in term_list}
-    if legacy:
-        # a legacy (n_shards-less) block index has arbitrary salt ids that
-        # the coarse join below cannot address — plan everything fine
-        fine_terms = [t for t in term_list if shard[t]]
-    else:
-        fine_terms = [
-            t for t in term_list if shard[t] and tot_blocks[t] <= int(max_meta_blocks)
-        ]
+    # ONE metadata job classifies terms AND collects fine terms' block rows
+    # (windowed row cap); the (term, salt) aggregate job runs only when a
+    # term actually overflowed the budget — the common serve pays a single
+    # planning job on first touch and zero afterwards (memoized).
+    # A legacy (n_shards-less) block index has arbitrary salt ids that the
+    # coarse join below cannot address — plan everything fine there.
+    cap = (1 << 62) if legacy else int(max_meta_blocks)
+    by_term, overflowed = index.capped_block_meta(term_list, cap)
+    fine_terms = [t for t in term_list if by_term.get(t)]
     fine_set = set(fine_terms)
-    coarse_terms = [t for t in term_list if shard[t] and t not in fine_set]
-    by_term = index.block_meta(fine_terms)
+    coarse_terms = sorted(overflowed)
+    shard = index.shard_meta(coarse_terms) if coarse_terms else {}
 
     def coarse_shardmax(t: str, s: int) -> float:
         m_t = meta[t][1]

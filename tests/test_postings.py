@@ -702,17 +702,23 @@ def test_coarse_term_planning_equals_fine(spark, tmp_path):
 
 def test_block_meta_cached_per_term(spark, tmp_path):
     """Repeated serves reuse the memoized metadata (no re-collect): the
-    planning caches grow once per distinct queried term."""
+    planning caches grow once per distinct queried term; under the default
+    budget no term overflows, so the (term, salt) aggregate job never runs
+    at all (the serve pays ONE planning job on first touch)."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     index = build_inverted_index(docs, str(tmp_path / "mc"), num_partitions=2)
     qdf = spark.createDataFrame([("q1", "spark query")], "q_id string, query string")
     wand_topk(index, qdf, k=5).collect()
-    n_shard = len(index._shard_meta)
     n_block = len(index._block_meta)
-    assert n_shard > 0 and n_block > 0
+    assert n_block > 0
+    assert len(index._shard_meta) == 0  # no overflow -> no aggregate job
     wand_topk(index, qdf, k=5).collect()
-    assert len(index._shard_meta) == n_shard
     assert len(index._block_meta) == n_block
+    # a tiny budget re-classifies the cached terms as coarse and pulls the
+    # shard aggregates; results stay identical (pinned elsewhere)
+    wand_topk(index, qdf, k=5, max_meta_blocks=0).collect()
+    assert len(index._shard_meta) > 0
+    assert len(index._block_meta) == n_block  # fine cache untouched
 
 
 def test_wand_serve_fuzz_equals_exhaustive_bm25(spark, tmp_path):
