@@ -694,10 +694,13 @@ def connected_components(
             )
         )
     )
+    # iterate ONLY over nodes that appear in a pair — near-duplicate pair
+    # sets are a small fraction of a web corpus, so each round's joins are
+    # O(|candidates|), not O(|corpus|); singletons attach at the end with
+    # one left join (label := own id)
     labels, lab_ids = _ckpt(
-        nodes.select(
-            F.col(node_col).cast("bigint").alias("id"),
-            F.col(node_col).cast("bigint").alias("label"),
+        sym.select(F.col("src").alias("id")).distinct().select(
+            "id", F.col("id").alias("label")
         )
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -727,8 +730,13 @@ def connected_components(
             break
         prev_sum = cur_sum
     _release_persistent_rdds(spark, sym_ids)
-    out = labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+    out = (
+        nodes.select(F.col(node_col).cast("bigint").alias("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_rep"),
+        )
     )
     # the result is backed by the final label checkpoint (its lineage is
     # truncated — it cannot be recomputed); long-lived services can free it
