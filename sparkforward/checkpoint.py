@@ -37,6 +37,24 @@ def completed_partitions(index_path: str) -> frozenset[int]:
     return frozenset(out)
 
 
+def committed_lineage(index_path: str) -> dict | None:
+    """Lineage dict of any committed manifest (they share build config).
+
+    Resume reads the ORIGINAL build's configuration from here — bucket ids
+    are ``pmod(xxhash64(term), n_buckets)``, so a resumed build must keep
+    the original modulus for the completed-bucket skip to mean anything.
+    """
+    for f in glob.glob(os.path.join(_manifest_dir(index_path), "bucket-*.json")):
+        try:
+            with open(f) as fh:
+                m = json.load(fh)
+            if m.get("status") == "committed":
+                return m.get("lineage", {})
+        except (json.JSONDecodeError, KeyError, ValueError):
+            continue
+    return None
+
+
 def partition_metrics(index_path: str, bucket: int) -> dict:
     """Rows/bytes/files for a bucket's parquet partition directory."""
     part_dir = os.path.join(index_path, "postings", f"bucket={bucket}")

@@ -703,32 +703,38 @@ def connected_components(
             "id", F.col("id").alias("label")
         )
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(int(max_iter)):
-        nbr = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        merged = (
-            labels.join(nbr, "id", "left")
-            .select("id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
-        )
-        # pointer jumping: label(v) <- label(label(v))
-        l2 = merged.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
-        new_labels, new_ids = _ckpt(
-            merged.join(l2, merged.label == l2._lid)
-            .select("id", F.col("_llabel").alias("label"))
-        )
-        # the new eager checkpoint truncated its lineage: the previous
-        # round's checkpoint storage releases immediately (iterative
-        # operators must not accrete executor storage — the ES lesson)
-        _release_persistent_rdds(spark, lab_ids)
-        labels, lab_ids = new_labels, new_ids
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    try:
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(int(max_iter)):
+            nbr = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            merged = (
+                labels.join(nbr, "id", "left")
+                .select("id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            )
+            # pointer jumping: label(v) <- label(label(v))
+            l2 = merged.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
+            new_labels, new_ids = _ckpt(
+                merged.join(l2, merged.label == l2._lid)
+                .select("id", F.col("_llabel").alias("label"))
+            )
+            # the new eager checkpoint truncated its lineage: the previous
+            # round's checkpoint storage releases immediately (iterative
+            # operators must not accrete executor storage — the ES lesson)
+            _release_persistent_rdds(spark, lab_ids)
+            labels, lab_ids = new_labels, new_ids
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    except BaseException:
+        # a mid-loop failure (task error, OOM, cancellation) must not
+        # strand checkpoint storage on a caller that catches and retries
+        _release_persistent_rdds(spark, sym_ids | lab_ids)
+        raise
     _release_persistent_rdds(spark, sym_ids)
     out = (
         nodes.select(F.col(node_col).cast("bigint").alias("doc_id"))

@@ -403,8 +403,6 @@ class PostingIndex:
         :meth:`block_meta`; overflow verdicts memoize per (term, cap seen)
         so a later call with a LARGER budget re-collects.
         """
-        if not hasattr(self, "_block_overflow"):
-            self._block_overflow: dict[str, int] = {}
         cap = int(cap)
         over = {
             t for t in terms
@@ -765,6 +763,25 @@ def merge_partials(
     # parallelism — fewer bucket dirs keep the (serial, driver-side) file
     # commit cheap while resume still skips completed work.
     n_buckets = n_buckets or min(num_partitions or 32, 16)
+    if resume:
+        # bucket ids are pmod(xxhash64(term), n_buckets): a resumed build
+        # MUST keep the original modulus or the completed-bucket skip would
+        # silently drop the wrong terms (a resume launched with different
+        # parallelism would otherwise re-derive a different default)
+        from sparkforward.checkpoint import committed_lineage
+
+        lineage = committed_lineage(path)
+        if lineage and "n_buckets" in lineage:
+            orig = int(lineage["n_buckets"])
+            if orig != n_buckets:
+                import warnings
+
+                warnings.warn(
+                    f"resume: using the original build's n_buckets={orig} "
+                    f"(this invocation would have used {n_buckets})",
+                    stacklevel=2,
+                )
+            n_buckets = orig
     done = completed_partitions(path) if resume else frozenset()
     if done:
         # Resume skips COMPUTE, not just the write: the term-hash bucket is
@@ -839,7 +856,7 @@ def merge_partials(
     )
     write_manifest(
         [b for b in range(n_buckets) if b not in done],
-        extra={"n_docs": n_docs, "avgdl": avgdl},
+        extra={"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets},
     )
 
     # per-term shard count rides in the term dictionary: serving derives a

@@ -194,11 +194,8 @@ def release_caches() -> None:
 
     _RANKED_CACHE.release()
     _WAND_INDEX_CACHE.release()
+    _TREC_DIR_CACHE.release()
     bm25.release_caches()
-    import shutil
-
-    while _TREC_DIRS:
-        shutil.rmtree(_TREC_DIRS.pop(), ignore_errors=True)
 
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,8 +317,28 @@ def q_interpolate_from_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: temp dirs created by q_trec_roundtrip; removed by release_caches()
-_TREC_DIRS: list[str] = []
+class _TempDirCache(SessionScopedCache):
+    """Session cache of temp DIRECTORIES: eviction (session death or
+    explicit release) removes the directory from disk — repeated gate
+    calls reuse one dir per (session, corpus) and strand nothing."""
+
+    def _evict(self, value) -> None:
+        import shutil
+
+        shutil.rmtree(value, ignore_errors=True)
+
+    def sweep(self) -> None:
+        dead = [k for k, (s, _) in self._entries.items() if not is_alive(s)]
+        for k in dead:
+            self._evict(self._entries.pop(k)[1])
+
+    def release(self) -> None:
+        for _s, value in self._entries.values():
+            self._evict(value)
+        self._entries.clear()
+
+
+_TREC_DIR_CACHE = _TempDirCache()
 
 
 def q_trec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +349,8 @@ def q_trec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking.py:388-409) and emits the parsed rows. Pins the serialization
     format end-to-end: the six-column whitespace layout and the
     double -> string -> float32 score round trip (the oracle mirrors the
-    precision loss with CAST(score AS FLOAT)).
+    precision loss with CAST(score AS FLOAT)). One temp directory per
+    (session, corpus), rewritten in place and swept on session death.
     """
     import tempfile
 
@@ -341,8 +359,10 @@ def q_trec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = q_bm25_topk(spark, sf_dir)
     ranking = Ranking(top.select("q_id", "id", "score"), name="bm25")
-    d = tempfile.mkdtemp(prefix="sfwd_trec_")
-    _TREC_DIRS.append(d)
+    d = _TREC_DIR_CACHE.get(spark, (sf_dir,))
+    if d is None:
+        d = tempfile.mkdtemp(prefix="sfwd_trec_")
+        _TREC_DIR_CACHE.put(spark, (sf_dir,), d)
     path = os.path.join(d, "run.tsv")
     write_trec_run(ranking, path)
     back = read_trec_run(spark, path)
@@ -668,9 +688,15 @@ PQ_M = 8        # subspaces (64-dim fixture -> dsub = 8)
 PQ_KS = 16      # codewords per subspace
 PQ_SEED = 42
 PQ_FIT_N = 256  # fit sample: embeddings with vec_id < PQ_FIT_N
-#: corpus the driver's DuckDB oracle runs against — the oracle inlines the
-#: fitted codebooks as literals, and the fit sample comes from THIS corpus
-ORACLE_SF_DIR = os.environ.get("SPARKFORWARD_ORACLE_SF", "/root/testdata/sf0.01")
+#: corpus the DuckDB oracle runs against — the oracle inlines the fitted
+#: codebooks as literals, and the fit sample comes from THIS corpus, so it
+#: must track the harness's corpus choice: honor the local gate's SF_DIR
+#: env (tools/check_correctness.py) before falling back to the driver
+#: gate's fixed sf0.01
+ORACLE_SF_DIR = os.environ.get(
+    "SPARKFORWARD_ORACLE_SF",
+    os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
+)
 
 _PQ_CACHE: dict[str, object] = {}
 

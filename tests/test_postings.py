@@ -159,6 +159,28 @@ def test_resume_skips_completed_buckets(spark, docs, tmp_path):
     assert len(_serve(spark, idx)) > 0
 
 
+def test_resume_keeps_original_bucket_modulus(spark, docs, tmp_path):
+    """Bucket ids are pmod(xxhash64(term), n_buckets): a resume launched
+    with different parallelism must reuse the ORIGINAL build's modulus
+    (read from the committed manifests) — re-deriving a new default would
+    skip the wrong terms and silently lose postings."""
+    import warnings
+
+    path = str(tmp_path / "nb")
+    build_inverted_index(docs, path, num_partitions=32)  # n_buckets = 16
+    idx0 = build_inverted_index(docs, str(tmp_path / "ref"), num_partitions=32)
+    rows_before = idx0.postings.count()
+    base = _serve(spark, idx0)
+    os.remove(sorted(glob.glob(os.path.join(path, "_manifests", "bucket-*.json")))[0])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx = build_inverted_index(docs, path, num_partitions=8, resume=True)
+    assert any("n_buckets" in str(x.message) for x in w)
+    assert int(idx.stats["n_buckets"]) == 16  # original modulus kept
+    assert idx.postings.count() == rows_before  # nothing lost or doubled
+    pd.testing.assert_frame_equal(base, _serve(spark, idx))
+
+
 def test_manifest_carries_lineage_and_metrics(spark, docs, tmp_path):
     import json
 

@@ -52,9 +52,9 @@ def _signature(path: str) -> dict:
                count(*) AS n
         FROM (
           SELECT term, salt, block_no,
-                 md5(concat_ws('#', term, salt, block_no, n, first_doc,
-                               last_doc, max_z, min_z, hex(doc_blob),
-                               hex(tf_blob), hex(dl_blob))) AS h
+                 md5(concat_ws('#', term, salt, n_shards, block_no, n,
+                               first_doc, last_doc, max_z, min_z, n_bytes,
+                               hex(doc_blob), hex(tf_blob), hex(dl_blob))) AS h
           FROM read_parquet('{path}/postings/*/*.parquet')
         )
         """
