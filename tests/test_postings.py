@@ -746,8 +746,10 @@ def test_block_meta_cached_per_term(spark, tmp_path):
 def test_wand_serve_fuzz_equals_exhaustive_bm25(spark, tmp_path):
     """Seeded end-to-end serve fuzz: random tiny corpora and random
     queries — the full build+serve path (salting, doc shards, block-max
-    kernels, merge window) must be rank-identical to the exhaustive
-    declarative BM25 over the same corpus."""
+    kernels, metadata block pruning at EVERY planning budget, merge
+    window) must be rank-identical to the exhaustive declarative BM25
+    over the same corpus. Budgets sweep the planner's three regimes:
+    all-fine (default), mixed fine/coarse (3), all-coarse (0)."""
     import numpy as np
 
     from sparkforward.bm25 import bm25_topk
@@ -775,6 +777,12 @@ def test_wand_serve_fuzz_equals_exhaustive_bm25(spark, tmp_path):
             out["rank"] = out["rank"].astype("int64")
             return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
 
-        served = norm(wand_topk(index, qdf, k=7))
         expected = norm(bm25_topk(docs, qdf, k=7))
-        pd.testing.assert_frame_equal(served, expected), seed
+        for budget in (None, 3, 0):
+            served = norm(wand_topk(index, qdf, k=7, max_meta_blocks=budget))
+            pd.testing.assert_frame_equal(served, expected), (seed, budget)
+        # and the forced block-max WAND kernel under pruned gathers
+        served_w = norm(
+            wand_topk(index, qdf, k=7, taat_max_postings=0, max_meta_blocks=3)
+        )
+        pd.testing.assert_frame_equal(served_w, expected), seed
