@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q.q_similarity_topk,
         "similarity_lsh_topk": q.q_similarity_lsh_topk,
         "similarity_ivf_topk": q.q_similarity_ivf_topk,
+        "similarity_ivf_kernel_topk": q.q_similarity_ivf_kernel_topk,
         # dedup (dedup_embedding = all-pairs oracle baseline;
         #        dedup_embedding_lsh = the bucketed scale path)
         "dedup_exact": q.q_dedup_exact,
@@ -139,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": q.sql_similarity_topk(),
         "similarity_lsh_topk": q.sql_similarity_lsh_topk(),
         "similarity_ivf_topk": q.sql_similarity_ivf_topk(),
+        # the Arrow-kernel dispatch must match the literal path's oracle
+        "similarity_ivf_kernel_topk": q.sql_similarity_ivf_topk(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
         "dedup_ngram_jaccard": q.sql_dedup_ngram_jaccard(),

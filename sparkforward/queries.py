@@ -1051,6 +1051,28 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_kernel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF ANN entry forced through the Arrow coarse-assignment KERNEL
+    (the large-codebook scale path, similarity._nearest_centroids) instead
+    of the literal projection — same fixed 16-centroid codebook, same
+    oracle. Hash-matching this entry checks the dgemm kernel's
+    (round(dist, 6), cent_id) assignment contract against SQL directly,
+    not just against the literal path in pytest."""
+    from sparkforward.similarity import ivf_topk
+
+    emb = load_embeddings(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    return ivf_topk(
+        emb, qvecs, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, k=K_FINAL,
+        assign_kernel=True,
+    )
+
+
 def sql_similarity_ivf_topk() -> str:
     return f"""
 WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
