@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q.q_token_count,
         "text_quality": q.q_text_quality,
         "lang_id": q.q_lang_id,
+        # composed corpus curation (quality + lang + dedup reps)
+        "corpus_filter": q.q_corpus_filter,
         # iterative operators (rows-only driver check; golden-tested in pytest)
         "early_stopping": q.q_early_stopping,
         "coalesce": q.q_coalesce,
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),
         "lang_id": q.sql_lang_id(),
+        "corpus_filter": q.sql_corpus_filter(),
         # iterative operators: finite depth schedule / closed-form fixture
         # shape make them SQL-expressible after all (round-2)
         "early_stopping": q.sql_early_stopping(),

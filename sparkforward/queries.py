@@ -1289,6 +1289,50 @@ def sql_text_quality() -> str:
     return QUALITY_SQL
 
 
+CURATE_MIN_QUALITY = 0.3
+CURATE_MIN_TOKENS = 10
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation keep set (textstats.corpus_keep_filter):
+    quality >= {CURATE_MIN_QUALITY}, >= {CURATE_MIN_TOKENS} tokens,
+    language 'en', near-duplicate cluster representatives only — four
+    gate-checked operators composed into the pipeline's actual keep/drop
+    decision."""
+    from sparkforward.textstats import corpus_keep_filter
+
+    return corpus_keep_filter(
+        load_documents(spark, sf_dir),
+        min_quality=CURATE_MIN_QUALITY,
+        min_tokens=CURATE_MIN_TOKENS,
+    )
+
+
+def sql_corpus_filter() -> str:
+    from sparkforward.dedup import simhash_neardup_sql
+    from sparkforward.textstats import LANG_ID_SQL, QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({simhash_neardup_sql()}) p),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+reps AS (
+  SELECT id AS doc_id FROM (SELECT id, min(r) AS mr FROM reach GROUP BY id) WHERE id = mr
+),
+q AS (SELECT * FROM ({QUALITY_SQL}) qq),
+lg AS (SELECT * FROM ({LANG_ID_SQL}) ll)
+SELECT CAST(q.doc_id AS BIGINT) AS doc_id
+FROM q JOIN lg USING (doc_id) JOIN reps USING (doc_id)
+WHERE q.quality >= {CURATE_MIN_QUALITY} AND q.n_tokens >= {CURATE_MIN_TOKENS}
+  AND lg.predicted_lang = 'en'
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.textstats import lang_id
 

@@ -89,6 +89,44 @@ FROM m
 """
 
 
+def corpus_keep_filter(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 10,
+    require_lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id) — the composed corpus-CURATION keep set: quality floor,
+    token floor, language match, and near-duplicate cluster
+    representatives only.
+
+    This is the decision a training-data pipeline actually executes,
+    composed from four individually oracle-gated operators
+    (:func:`quality_scores`, :func:`lang_id`,
+    dedup.simhash_near_duplicates -> dedup.connected_components); keeping
+    exactly ``doc_id == cluster_rep`` drops every near-duplicate but one
+    per cluster. All joins are equi hash joins on doc_id.
+    """
+    from sparkforward.dedup import connected_components, simhash_near_duplicates
+
+    q = quality_scores(docs, text_col)
+    lg = lang_id(docs, text_col)
+    reps = connected_components(
+        simhash_near_duplicates(docs, text_col), docs.select("doc_id")
+    )
+    return (
+        q.join(lg, "doc_id")
+        .join(reps, "doc_id")
+        .filter(
+            (F.col("quality") >= F.lit(float(min_quality)))
+            & (F.col("n_tokens") >= F.lit(int(min_tokens)))
+            & (F.col("predicted_lang") == F.lit(require_lang))
+            & (F.col("doc_id") == F.col("cluster_rep"))
+        )
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, predicted_lang) — stopword-hit-ratio heuristic.
 
