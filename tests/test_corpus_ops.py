@@ -557,3 +557,88 @@ def test_ivf_assign_kernel_equals_literal_path_and_scales(spark):
     )
     out = ivf_topk(emb_l, qvecs_l, n_probe=64, k=10, centroids=km).toPandas()
     assert (out.groupby("q_id")["rank"].max() == 10).all()
+
+
+def test_ivf_kernel_rounding_boundary_margin():
+    """BLAS-reassociation guard for the dgemm assignment kernel (ADVICE
+    r4): `_nearest_centroids` sums dots via dgemm, whose reassociated
+    summation can differ from the literal path's sequential fold by an
+    ulp — which only matters if a raw distance straddles a round(.,6)
+    decision boundary within that ulp. Pin, for BOTH gate fixtures and
+    the gate codebook (first 16 vectors), that every (vector, centroid)
+    distance sits farther from its nearest rounding boundary than 4x the
+    measured dgemm-vs-fold discrepancy — so no BLAS build can flip the
+    rounded value and the shared DuckDB oracle stays deterministic."""
+    import duckdb
+    import numpy as np
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        V = np.asarray([r[1] for r in rows], dtype=np.float64)
+        C = V[:16]
+        # sequential left-fold per scalar, vectorized across pairs: each
+        # (i, k) accumulates in dim order — Catalyst/DuckDB's fold order
+        acc = np.zeros((len(V), len(C)))
+        vs = np.zeros(len(V))
+        cs = np.zeros(len(C))
+        for j in range(V.shape[1]):
+            acc += V[:, j, None] * C[None, :, j]
+            vs += V[:, j] * V[:, j]
+            cs += C[:, j] * C[:, j]
+        d_fold = 1.0 - acc / (np.sqrt(vs)[:, None] * np.sqrt(cs)[None, :])
+        # the kernel's actual computation (similarity._nearest_centroids)
+        d_blas = 1.0 - (V @ C.T) / (
+            np.sqrt((V * V).sum(axis=1))[:, None] * np.sqrt(cs)[None, :]
+        )
+        diff = np.abs(d_blas - d_fold)
+        # distance to the nearest .5e-6 round-decision boundary
+        frac = np.abs((np.abs(d_fold) * 1e6) % 1.0 - 0.5) * 1e-6
+        margin = frac - 4.0 * diff
+        assert margin.min() > 1e-12, (
+            f"{sf}: a distance sits within BLAS-ulp range of a rounding "
+            f"boundary (margin {margin.min():.3e}) — the ivf kernel gate "
+            f"entry would be nondeterministic across BLAS builds"
+        )
+
+
+def test_webtext_locality_mode(spark):
+    """Crawl-order locality mode (judge r4 #3): generation stays
+    deterministic and partition-independent, head terms stay global, and
+    tail-term postings concentrate in contiguous doc-id ranges — the
+    median tail-term id span shrinks far below the uniform corpus's
+    (where i.i.d. draws spread every term across the whole range)."""
+    import pandas as pd
+
+    from sparkforward.webtext import N_HEAD, VOCAB, _row, synthesize_webpages
+
+    a = synthesize_webpages(spark, 200, num_partitions=1, locality=True).toPandas()
+    b = synthesize_webpages(spark, 200, num_partitions=7, locality=True).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("url").reset_index(drop=True),
+        b.sort_values("url").reset_index(drop=True),
+    )
+
+    n = 25_000
+    head = set(VOCAB[:N_HEAD])
+
+    def spans(locality):
+        lo, hi = {}, {}
+        for i in range(n):
+            _, _, _, text, _ = _row(i, locality)
+            for t in set(text.split()):
+                if t in head:
+                    continue
+                lo.setdefault(t, i)
+                hi[t] = i
+        return np.asarray([hi[t] - lo[t] for t in lo if hi[t] > lo[t]]) / n
+
+    s_loc = spans(True)
+    s_uni = spans(False)
+    assert np.median(s_loc) < 0.6, f"locality median span {np.median(s_loc):.2f}"
+    assert np.median(s_uni) > 0.7, f"uniform median span {np.median(s_uni):.2f}"
+    assert np.median(s_loc) < 0.7 * np.median(s_uni)
+    # head terms remain corpus-wide in both modes
+    _, _, _, t0, _ = _row(3, True)
+    assert any(w in head for w in t0.split())
