@@ -162,10 +162,30 @@ class ProductQuantizer:
         return q
 
 
+def _seq_rotate(X: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """``X @ R`` as a strict sequential float64 left fold over input dims,
+    cast to float32 — the SQL-reproducible rotation: per output element the
+    additions run in input-dim order, exactly how DuckDB's
+    ``list_dot_product`` over a literal rotation column folds, so the
+    oracle recomputes every rotated coordinate bit-identically (a BLAS
+    sgemm's reassociated/float32 accumulation would diverge by ulps and
+    flip ``round(d2, 6)`` argmins at boundaries — the trap class that hid
+    three real bugs before the PQ entry pinned this recipe)."""
+    X64 = np.asarray(X, dtype=np.float64)
+    R64 = np.asarray(R, dtype=np.float64)
+    acc = np.zeros((X64.shape[0], R64.shape[1]), dtype=np.float64)
+    for i in range(R64.shape[0]):
+        acc += X64[:, i, None] * R64[None, i, :]
+    return acc.astype(np.float32)
+
+
 class OPQ(ProductQuantizer):
     """Optimized PQ: learn a rotation R, then PQ in the rotated space
     (ref quantizer/nanopq.py:77-149). Alternating minimization: fit PQ,
-    update R from the SVD of X^T X_rec, repeat."""
+    update R from the SVD of X^T X_rec, repeat. Serving-path rotations go
+    through :func:`_seq_rotate` (deterministic, oracle-reproducible); the
+    fit loop's internal rotations stay BLAS (only the fitted (codebooks,
+    R) pair matters downstream)."""
 
     def __init__(self, M: int = 8, Ks: int = 256, seed: int = 42, rotation_iters: int = 5):
         super().__init__(M=M, Ks=Ks, seed=seed)
@@ -192,12 +212,12 @@ class OPQ(ProductQuantizer):
     def encode(self, X: np.ndarray) -> np.ndarray:
         if self.R is None:
             raise RuntimeError("Quantizer has not been fit.")
-        return super().encode(np.asarray(X, dtype=np.float32) @ self.R)
+        return super().encode(_seq_rotate(np.asarray(X, dtype=np.float32), self.R))
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         out = super().decode(codes)
         if self.R is not None:
-            out = out @ self.R.T
+            out = _seq_rotate(out, self.R.T)
         return out.astype(np.float32)
 
     def serialize(self) -> dict:

