@@ -174,9 +174,45 @@ def idf(df: float, n_docs: float) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+#: split a block early when the doc-id gap to the next posting exceeds
+#: this multiple of the list's MEAN gap. Real crawls assign ids in crawl
+#: order, so a rare term's postings come in a few id-contiguous host runs
+#: separated by huge gaps; a uniform 128-posting block then BRIDGES runs
+#: and its [first_doc, last_doc] range covers most of the corpus — which
+#: silently disables every doc-range-based pruning bound (measured: the
+#: 1M-doc locality corpus planned bytes_fraction 0.98 with uniform blocks
+#: vs ~0.1 with gap-split ones). An i.i.d. list's gaps are exponential
+#: around the mean, so a factor-8 threshold splits essentially never
+#: (P ~ e^-8 per gap) and metadata volume is unchanged for head terms.
+GAP_SPLIT_FACTOR = 8.0
+
+
+def _block_starts(
+    d: np.ndarray, block_size: int, gap_factor: float | None = GAP_SPLIT_FACTOR
+) -> np.ndarray:
+    """Block start positions: every ``block_size`` postings, restarting at
+    doc-id gaps larger than ``gap_factor`` x the list's mean gap."""
+    n = len(d)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    forced = np.zeros(0, dtype=np.int64)
+    if gap_factor and n > 1:
+        mean_gap = max(1.0, (int(d[-1]) - int(d[0])) / (n - 1))
+        forced = np.nonzero(np.diff(d) > gap_factor * mean_gap)[0] + 1
+    seg_bounds = np.concatenate(([0], forced, [n]))
+    return np.concatenate(
+        [
+            np.arange(a, b, block_size, dtype=np.int64)
+            for a, b in zip(seg_bounds[:-1], seg_bounds[1:])
+            if b > a
+        ]
+    )
+
+
 def encode_posting_list(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     avgdl: float, block_size: int = BLOCK_SIZE,
+    gap_factor: float | None = GAP_SPLIT_FACTOR,
 ) -> dict:
     """Encode one (term, salt) shard: sort, delta, varbyte, block maxima.
 
@@ -184,11 +220,19 @@ def encode_posting_list(
     ``z = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))``; serving multiplies by the
     term's idf (exact, since multiplication by a positive constant is
     monotone in IEEE float64) — keeping idf out of the build shuffle.
+
+    Blocks are ``block_size`` postings but SPLIT EARLY at large doc-id
+    gaps (:data:`GAP_SPLIT_FACTOR`), so a clustered term's block ranges
+    hug its id runs instead of bridging them — the property that makes
+    the serve's doc-range block pruning effective on crawl-ordered ids.
+    The returned ``block_len`` array carries the (now variable) lengths;
+    every decoder accepts it.
     """
     order = np.argsort(doc_ids, kind="stable")
     d, tf, dl = doc_ids[order], tfs[order], dls[order]
     n = len(d)
-    starts = np.arange(0, n, block_size)
+    starts = _block_starts(d, block_size, gap_factor)
+    ends = np.append(starts[1:], n)
     # delta encoding RESTARTS at each block boundary (the block's first value
     # is the absolute doc id) so a block decodes independently of its
     # predecessors — the property lazy WAND skipping relies on
@@ -197,20 +241,13 @@ def encode_posting_list(
     z = (tf * (K1 + 1.0)) / (
         tf + K1 * (1.0 - B + B * dl.astype(np.float64) / avgdl)
     )
-    n_blocks = len(starts)
-    block_first = [int(d[i * block_size]) for i in range(n_blocks)]
-    block_last = [int(d[min((i + 1) * block_size, n) - 1]) for i in range(n_blocks)]
-    block_max = [
-        float(z[i * block_size : (i + 1) * block_size].max())
-        for i in range(n_blocks)
-    ]
+    block_first = [int(x) for x in d[starts]]
+    block_last = [int(x) for x in d[ends - 1]]
+    block_max = [float(x) for x in np.maximum.reduceat(z, starts)]
     # per-block MINIMUM z: every doc in block b scores >= idf * min_z(b)
     # from this term alone — the metadata-only top-k threshold lower bound
     # the block-pruning serve plan uses (wand.py)
-    block_min = [
-        float(z[i * block_size : (i + 1) * block_size].min())
-        for i in range(n_blocks)
-    ]
+    block_min = [float(x) for x in np.minimum.reduceat(z, starts)]
     doc_blob, doc_off = varbyte_encode_with_offsets(deltas, starts)
     tf_blob, tf_off = varbyte_encode_with_offsets(tf, starts)
     dl_blob, dl_off = varbyte_encode_with_offsets(dl, starts)
@@ -226,6 +263,7 @@ def encode_posting_list(
         "block_doc_off": doc_off,
         "block_tf_off": tf_off,
         "block_dl_off": dl_off,
+        "block_len": [int(x) for x in (ends - starts)],
     }
 
 
@@ -240,7 +278,6 @@ def encode_posting_blocks(
     carrying (block_no, n, last_doc, max_z, min_z, n_bytes, blob slices).
     """
     enc = encode_posting_list(doc_ids, tfs, dls, avgdl, block_size)
-    n = enc["n"]
     n_blocks = len(enc["block_last_doc"])
     d_off = list(enc["block_doc_off"]) + [len(enc["doc_blob"])]
     t_off = list(enc["block_tf_off"]) + [len(enc["tf_blob"])]
@@ -253,7 +290,7 @@ def encode_posting_blocks(
         rows.append(
             {
                 "block_no": i,
-                "n": min(block_size, n - i * block_size),
+                "n": enc["block_len"][i],
                 "first_doc": enc["block_first_doc"][i],
                 "last_doc": enc["block_last_doc"][i],
                 "max_z": enc["block_max_z"][i],

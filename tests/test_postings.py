@@ -856,3 +856,39 @@ def test_vec_kernel_sparse_anchor_pruning_and_reassembly():
         rows2.append(row)
     v2 = wand_query_vec(pd.DataFrame(rows2), 10, 70.0, 64)
     assert a == v2
+
+
+def test_gap_split_blocks():
+    """Gap-aware block splitting (round 5): a clustered term's blocks must
+    hug its id runs (no block bridges a between-run gap — bridging ranges
+    disabled ALL doc-range pruning on the 1M locality corpus), while an
+    evenly spaced list keeps the plain uniform-block layout; the encoded
+    stream round-trips under the variable lengths."""
+    from sparkforward.postings import (
+        decode_blocked_posting_list,
+        encode_posting_list,
+    )
+
+    rng = np.random.default_rng(3)
+    runs = [np.arange(0, 100), np.arange(500_000, 500_100),
+            np.arange(900_000, 900_050)]
+    d = np.concatenate(runs)
+    tf = rng.integers(1, 9, size=len(d))
+    dl = rng.integers(20, 121, size=len(d))
+    enc = encode_posting_list(d, tf, dl, avgdl=70.0, block_size=64)
+    firsts = enc["block_first_doc"]
+    lasts = enc["block_last_doc"]
+    for f, l in zip(firsts, lasts):
+        assert any(f >= r[0] and l <= r[-1] for r in runs), (
+            f"block [{f}, {l}] bridges a run gap"
+        )
+    assert sum(enc["block_len"]) == len(d)
+    dd, tt, ll = decode_blocked_posting_list(enc, 64)
+    assert (dd == d).all() and (tt == tf).all() and (ll == dl).all()
+
+    even = np.arange(0, 1000, 2)
+    enc2 = encode_posting_list(
+        even, np.ones(len(even), dtype=np.int64),
+        np.full(len(even), 70, dtype=np.int64), avgdl=70.0, block_size=64,
+    )
+    assert enc2["block_len"] == [64] * (len(even) // 64) + [len(even) % 64]
