@@ -892,3 +892,63 @@ def test_gap_split_blocks():
         np.full(len(even), 70, dtype=np.int64), avgdl=70.0, block_size=64,
     )
     assert enc2["block_len"] == [64] * (len(even) // 64) + [len(even) % 64]
+
+
+def test_wand_serve_fuzz_clustered_ids(spark, tmp_path):
+    """End-to-end serve fuzz on CRAWL-CLUSTERED doc ids (round 5): ids
+    drawn from a few distant runs with run-local rare terms + global
+    heads — the shape that exercises gap-split blocks, the
+    global-coverage theta0 anchor (rare anchors at modulus 1 pruning
+    salted head serves), byte-level block pruning, and the vectorized
+    kernel's pruned-gather reassembly TOGETHER. Every planning budget and
+    the forced kernel must stay rank-identical to exhaustive BM25."""
+    import numpy as np
+
+    from sparkforward.bm25 import bm25_topk
+
+    heads = [f"h{i}" for i in range(8)]
+    runs = [(0, 60), (10_000, 10_060), (500_000, 500_060)]
+    for seed in (5, 17):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for ri, (lo, hi) in enumerate(runs):
+            local = [f"r{ri}w{j}" for j in range(6)]
+            for i in range(lo, hi):
+                toks = list(rng.choice(heads, size=int(rng.integers(3, 25))))
+                toks += list(rng.choice(local, size=int(rng.integers(1, 4))))
+                rows.append((int(i), " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        index = build_inverted_index(
+            docs.repartition(3), str(tmp_path / f"c{seed}"),
+            salt_threshold=30, n_salt=4, num_partitions=3,
+            target_shard_postings=40, block_size=8,
+        )
+        queries = [
+            ("q0", "r0w1 h0 h3"), ("q1", "r2w0 r2w4 h1"),
+            ("q2", "h0 h1 h2"), ("q3", "r1w2 h5"),
+            ("q4", "r0w0 r1w0 r2w0"),
+        ]
+        qdf = spark.createDataFrame(queries, "q_id string, query string")
+
+        def norm(df):
+            out = df.select("q_id", "id", "rank").toPandas()
+            out["rank"] = out["rank"].astype("int64")
+            return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+        expected = norm(bm25_topk(docs, qdf, k=7))
+        for budget in (None, 3, 0):
+            served = norm(wand_topk(index, qdf, k=7, max_meta_blocks=budget))
+            pd.testing.assert_frame_equal(served, expected), (seed, budget)
+        served_w = norm(
+            wand_topk(index, qdf, k=7, taat_max_postings=0, max_meta_blocks=3)
+        )
+        pd.testing.assert_frame_equal(served_w, expected), seed
+        # gap-split must actually fire on the run-local terms: no block of
+        # a local term may bridge two runs
+        bm, _ = index.capped_block_meta([f"r{ri}w0" for ri in range(3)], 1 << 30)
+        for t, brs in bm.items():
+            for r in brs:
+                assert any(
+                    r["first_doc"] >= lo and r["last_doc"] < hi
+                    for lo, hi in runs
+                ), f"{t} block [{r['first_doc']}, {r['last_doc']}] bridges runs"
