@@ -1069,7 +1069,19 @@ def _serve_blocked(
                 }
             )
         tr = pd.DataFrame(rows)
-        kernel = taat_query if int(tr["n"].sum()) <= taat_max else wand_query_vec
+        # θ-aware dispatch: a finite planner θ0 means the strip kernel
+        # starts with a hot pruning threshold — it is at-or-below TAAT
+        # even with zero pruning (measured, BENCH/BASELINE.md r5), so
+        # TAAT only serves anchorless gathers below the size threshold.
+        # taat_max < 0 forces TAAT, == 0 forces the WAND kernel (probes).
+        if taat_max < 0:
+            kernel = taat_query
+        elif taat_max == 0:
+            kernel = wand_query_vec
+        elif theta != neg_inf or int(tr["n"].sum()) > taat_max:
+            kernel = wand_query_vec
+        else:
+            kernel = taat_query
         stats: list | None = [] if acc_decoded is not None else None
         kw = {}
         if kernel is wand_query_vec and theta != neg_inf:
@@ -1109,9 +1121,13 @@ def wand_topk(
     pruned contribution provably scores > one rounding unit below at least
     k fully-scored docs of its shard (margin logic below).
 
-    ``taat_max_postings`` overrides the TAAT/WAND dispatch threshold
-    (default :data:`TAAT_MAX_POSTINGS`; pass ``0`` to force the block-max
-    WAND kernel end-to-end — the bench's pruning-efficiency probe).
+    ``taat_max_postings`` overrides the TAAT/WAND dispatch (default
+    :data:`TAAT_MAX_POSTINGS`): TAAT serves only gathers with NO planner
+    θ0 below the threshold — a finite θ0 dispatches the vectorized WAND
+    kernel at any size (it starts pruning hot and costs at-or-below TAAT
+    even when nothing prunes). Pass ``0`` to force the WAND kernel
+    end-to-end (the bench's pruning-efficiency probe) or a negative value
+    to force TAAT (A/B probes).
     ``block_stats``: a ``(decoded, total)`` pair of Spark accumulators the
     serve tasks add their block-decode counters to; ``decoded/total`` is
     the fraction of the gathered postings actually decompressed.
@@ -1250,7 +1266,12 @@ def wand_topk(
         def serve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             q_id, shard = key
             modulus = int(pdf["q_n_serve"].iloc[0])
-            kernel = taat_query if int(pdf["n"].sum()) <= taat_max else wand_query_vec
+            # legacy layout has no planner θ0 — plain size dispatch
+            # (negative forces TAAT, 0 forces the WAND kernel)
+            if taat_max < 0 or int(pdf["n"].sum()) <= taat_max:
+                kernel = taat_query
+            else:
+                kernel = wand_query_vec
             stats: list | None = [] if acc_decoded is not None else None
             hits = kernel(
                 pdf, kk, avgdl, block_size, modulus, int(shard), stats_out=stats

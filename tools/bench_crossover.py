@@ -11,7 +11,7 @@ This tool re-measures the round-5 block-at-a-time vectorized kernel
   regime the dispatch targets),
 
 with the same 8 mixed rare+head queries. Both kernels are forced via
-``taat_max_postings`` (2^62 -> always TAAT, 0 -> always WAND); rows must
+``taat_max_postings`` (-1 -> always TAAT, 0 -> always WAND); rows must
 be identical. Prints one JSON line per corpus.
 
 Usage: python tools/bench_crossover.py [--docs 1000000] [--cores 16]
@@ -77,7 +77,7 @@ def main() -> None:
         out = {"corpus": label, "n_docs": args.docs,
                "build_sec": round(build_sec, 2)}
         rows_by_kernel = {}
-        for kernel, taat_max in (("taat", 1 << 62), ("wand_vec", 0)):
+        for kernel, taat_max in (("taat", -1), ("wand_vec", 0)):
             acc_d, acc_t = sc.accumulator(0), sc.accumulator(0)
             io: dict = {}
             best = 1e18
