@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_count": q.q_token_count,
         "text_quality": q.q_text_quality,
+        "repetition_stats": q.q_repetition_stats,
         "lang_id": q.q_lang_id,
         # composed corpus curation (quality + lang + dedup reps)
         "corpus_filter": q.q_corpus_filter,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": q.sql_user_sessions(),
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),
+        "repetition_stats": q.sql_repetition_stats(),
         "lang_id": q.sql_lang_id(),
         "corpus_filter": q.sql_corpus_filter(),
         # iterative operators: finite depth schedule / closed-form fixture

@@ -1547,6 +1547,22 @@ def sql_text_quality() -> str:
     return QUALITY_SQL
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals (duplicate token / 2-gram
+    fractions, top-2-gram share) over the documents table — the
+    repetition-based filter class every large-scale training pipeline
+    runs (Rae et al. 2021 A1.1)."""
+    from sparkforward.textstats import repetition_stats
+
+    return repetition_stats(load_documents(spark, sf_dir))
+
+
+def sql_repetition_stats() -> str:
+    from sparkforward.textstats import REPETITION_SQL
+
+    return REPETITION_SQL
+
+
 CURATE_MIN_QUALITY = 0.3
 CURATE_MIN_TOKENS = 10
 

@@ -89,6 +89,88 @@ FROM m
 """
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_token_frac, dup_2gram_frac, top_2gram_frac) — the
+    Gopher-family repetition quality signals (Rae et al. 2021, §A1.1:
+    documents dominated by repeated fragments are low-quality training
+    data): fraction of non-distinct tokens, fraction of non-distinct
+    token 2-grams, and the share of the most frequent 2-gram. All
+    computed WITHIN the row (split/transform/filter/array_distinct —
+    whole-stage codegen, zero shuffle, O(len^2) worst case per doc on
+    the distinct-gram count scan); fractions round to 6 decimals with
+    the identical float64 divisions the DuckDB oracle performs.
+    """
+    toks = _tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    src = docs.select(
+        "doc_id",
+        F.size(toks).alias("_nt"),
+        F.size(F.array_distinct(toks)).alias("_ndt"),
+        grams.alias("_g"),
+    ).select(
+        "doc_id",
+        "_nt",
+        "_ndt",
+        F.size("_g").alias("_ng"),
+        F.size(F.array_distinct("_g")).alias("_ndg"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("_g"),
+                    lambda g: F.size(F.filter("_g", lambda x: x == g)),
+                )
+            ),
+            F.lit(0),
+        ).alias("_topg"),
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, num.cast("double") / F.col(den)).otherwise(0.0), 6
+    )
+    return src.select(
+        "doc_id",
+        frac(F.col("_nt") - F.col("_ndt"), "_nt").alias("dup_token_frac"),
+        frac(F.col("_ng") - F.col("_ndg"), "_ng").alias("dup_2gram_frac"),
+        frac(F.col("_topg"), "_ng").alias("top_2gram_frac"),
+    )
+
+
+REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks, len(toks) AS nt,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS grams
+  FROM tok
+),
+m AS (
+  SELECT doc_id, nt,
+         len(list_distinct(toks)) AS ndt,
+         len(grams) AS ng,
+         len(list_distinct(grams)) AS ndg,
+         coalesce(list_aggregate(
+           list_transform(list_distinct(grams),
+                          x -> len(list_filter(grams, y -> y = x))), 'max'), 0) AS topg
+  FROM g
+)
+SELECT doc_id,
+  round(CASE WHEN nt > 0 THEN (nt - ndt)::DOUBLE / nt ELSE 0.0 END, 6) AS dup_token_frac,
+  round(CASE WHEN ng > 0 THEN (ng - ndg)::DOUBLE / ng ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN ng > 0 THEN topg::DOUBLE / ng ELSE 0.0 END, 6) AS top_2gram_frac
+FROM m
+"""
+
+
 def corpus_keep_filter(
     docs: DataFrame,
     min_quality: float = 0.3,

@@ -692,3 +692,32 @@ def test_coalesce_deep_margins_and_mix():
             f"(min ratio {(bdist / np.maximum(err, 1e-9)).min():.1f})"
         )
         assert len(counts) > 1 and max(counts) == 4, f"{sf}: counts {counts}"
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher-style repetition signals: hand-computed fixture values, and
+    the plan stays pure JVM (no Python eval in a scale-path text op)."""
+    from sparkforward.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # toks 5, distinct 2; grams 4: ab,ba,ab,ba
+            (2, "x y z"),              # all distinct; grams xy,yz distinct
+            (3, "w"),                  # single token: no grams
+            (4, "q q q q"),            # grams qq x3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["dup_token_frac"] == round(1 - 2 / 5, 6)
+    assert out[1]["dup_2gram_frac"] == round(1 - 2 / 4, 6)
+    assert out[1]["top_2gram_frac"] == 0.5
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["top_2gram_frac"] == 0.5
+    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["top_2gram_frac"] == 0.0
+    assert out[4]["dup_token_frac"] == 0.75
+    assert out[4]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out[4]["top_2gram_frac"] == 1.0
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
