@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q.q_token_count,
         "text_quality": q.q_text_quality,
         "repetition_stats": q.q_repetition_stats,
+        # dataset assembly: reproducible sampling + token-budget packing
+        "deterministic_sample": q.q_deterministic_sample,
+        "pack_shards": q.q_pack_shards,
         "lang_id": q.q_lang_id,
         # composed corpus curation (quality + lang + dedup reps)
         "corpus_filter": q.q_corpus_filter,
@@ -167,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": q.sql_token_count(),
         "text_quality": q.sql_text_quality(),
         "repetition_stats": q.sql_repetition_stats(),
+        "deterministic_sample": q.sql_deterministic_sample(),
+        "pack_shards": q.sql_pack_shards(),
         "lang_id": q.sql_lang_id(),
         "corpus_filter": q.sql_corpus_filter(),
         # iterative operators: finite depth schedule / closed-form fixture

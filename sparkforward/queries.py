@@ -1547,6 +1547,62 @@ def sql_text_quality() -> str:
     return QUALITY_SQL
 
 
+SAMPLE_FRACTION = 0.35
+PACK_BUDGET_TOKENS = 1000
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible {SAMPLE_FRACTION:.0%} corpus sample via a row-local
+    md5 threshold (textstats.deterministic_sample) — stable across
+    partitionings/retries/engines, the property pipelines need to
+    re-materialize identical subsets."""
+    from sparkforward.textstats import deterministic_sample
+
+    return deterministic_sample(
+        load_documents(spark, sf_dir), SAMPLE_FRACTION
+    ).select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def sql_deterministic_sample() -> str:
+    thresh = format(int(SAMPLE_FRACTION * float(1 << 32)), "08x")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) < '{thresh}'
+"""
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents assigned (in id order) to fixed
+    {PACK_BUDGET_TOKENS}-token training shards via the scalable
+    range-partitioned prefix sum (textstats.pack_shards) — no
+    single-reducer global window."""
+    from sparkforward.textstats import pack_shards
+
+    return pack_shards(load_documents(spark, sf_dir), PACK_BUDGET_TOKENS)
+
+
+def sql_pack_shards() -> str:
+    """Oracle: the same exclusive-prefix DIV budget, via a plain global
+    window (fine at fixture scale; sum(BIGINT) -> HUGEINT needs the CAST)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, len(list_filter(
+    regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+              AS BIGINT) AS excl
+  FROM tok
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(excl // {PACK_BUDGET_TOKENS} AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition quality signals (duplicate token / 2-gram
     fractions, top-2-gram share) over the documents table — the

@@ -171,6 +171,80 @@ FROM m
 """
 
 
+def deterministic_sample(
+    docs: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible corpus sampling: keep a row iff the first 8 hex chars
+    of ``md5(id)`` fall below ``fraction`` of the 32-bit space. Unlike
+    ``DataFrame.sample`` this is a pure row-local predicate — stable
+    across partitionings, retries, engines (md5 is everywhere), and
+    composable (a 10% sample of a 50% sample is a fixed 5% subset) — the
+    property training-data pipelines need to re-materialize identical
+    subsets. Pure JVM; the DuckDB oracle runs the same expression.
+    """
+    thresh = format(int(float(fraction) * float(1 << 32)), "08x")
+    # lexicographic compare of fixed-width lowercase hex == numeric
+    # compare, and avoids any engine-specific hex->int conversion
+    return docs.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thresh)
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard_id) — sequence packing: assign documents
+    (in id order) to fixed-token-budget training shards.
+
+    ``shard_id = exclusive-prefix-token-count DIV budget`` — the standard
+    "fill to budget, last doc may overflow" packing, deterministic and
+    integer-exact. The global running sum is computed the scalable way
+    (the build_url_dictionary pattern): range-partition by id, one
+    windowed sum per (range-disjoint) partition, plus the exclusive
+    prefix of per-partition totals via a partition-count-sized driver
+    map — no single-reducer global window at 10^12 docs. Output is
+    partitioning-invariant (the prefix in id order does not depend on
+    where range boundaries land).
+    """
+    from pyspark.sql import Window
+
+    n = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+    tc = (
+        token_counts(docs, text_col)
+        .select(F.col("doc_id").alias(id_col), "n_tokens")
+        .repartitionByRange(n, id_col)
+        .withColumn("_p", F.spark_partition_id())
+    ).persist()
+    totals = {
+        r["_p"]: r["s"]
+        for r in tc.groupBy("_p").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for p in sorted(totals):
+        prefix[p] = acc
+        acc += totals[p]
+    off = (
+        F.create_map(*[F.lit(x) for kv in prefix.items() for x in kv])[F.col("_p")]
+        if prefix
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_p").orderBy(id_col)
+    excl = F.sum("n_tokens").over(w) - F.col("n_tokens") + F.coalesce(off, F.lit(0))
+    # integer DIV: exact beyond 2^53 total tokens, where a float floor
+    # would misassign shards at web scale
+    out = tc.withColumn("_excl", excl.cast("bigint")).selectExpr(
+        id_col,
+        "n_tokens",
+        f"CAST(_excl DIV {int(budget_tokens)} AS BIGINT) AS shard_id",
+    ).localCheckpoint(eager=True)
+    tc.unpersist()
+    return out
+
+
 def corpus_keep_filter(
     docs: DataFrame,
     min_quality: float = 0.3,

@@ -721,3 +721,35 @@ def test_repetition_stats_semantics(spark):
     assert out[4]["top_2gram_frac"] == 1.0
     plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_shards_and_sample_invariance(spark):
+    """Dataset-assembly ops (round 5): pack_shards' shard assignment is
+    partitioning-invariant (range-partitioned prefix sum == the global
+    window's answer regardless of num_partitions), every shard except the
+    last reaches its budget (exclusive-prefix DIV semantics), and
+    deterministic_sample composes (sampling twice at f is idempotent;
+    sample(0.5) of sample(0.5)... is a subset) and is repartition-stable."""
+    from sparkforward.textstats import deterministic_sample, pack_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["doc_id"], r["shard_id"])
+         for r in pack_shards(docs, 1000, num_partitions=2).collect()}
+    b = {(r["doc_id"], r["shard_id"])
+         for r in pack_shards(docs.repartition(7), 1000, num_partitions=5).collect()}
+    assert a == b and len(a) == docs.count()
+    rows = sorted(
+        ((r["doc_id"], r["n_tokens"], r["shard_id"])
+         for r in pack_shards(docs, 1000).collect())
+    )
+    excl = 0
+    for doc_id, nt, sid in rows:
+        assert sid == excl // 1000, (doc_id, sid, excl)
+        excl += nt
+    assert {sid for _, _, sid in rows} == set(range(excl // 1000 + 1))
+
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.4).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs.repartition(9), 0.4).collect()}
+    assert s1 == s2
+    s_small = {r["doc_id"] for r in deterministic_sample(docs, 0.1).collect()}
+    assert s_small <= s1  # nested thresholds -> nested subsets
