@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q.q_repetition_stats,
         # dataset assembly: reproducible sampling + token-budget packing
         "deterministic_sample": q.q_deterministic_sample,
+        "host_stats": q.q_host_stats,
         "pack_shards": q.q_pack_shards,
         "lang_id": q.q_lang_id,
         # composed corpus curation (quality + lang + dedup reps)
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": q.sql_text_quality(),
         "repetition_stats": q.sql_repetition_stats(),
         "deterministic_sample": q.sql_deterministic_sample(),
+        "host_stats": q.sql_host_stats(),
         "pack_shards": q.sql_pack_shards(),
         "lang_id": q.sql_lang_id(),
         "corpus_filter": q.sql_corpus_filter(),

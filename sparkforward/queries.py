@@ -1549,6 +1549,52 @@ def sql_text_quality() -> str:
 
 SAMPLE_FRACTION = 0.35
 PACK_BUDGET_TOKENS = 1000
+HOST_MIN_DOCS = 5
+HOST_MIN_AVG_QUALITY = 0.3
+HOST_MIN_LANG_FRAC = 0.5
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation aggregates (textstats.host_stats): per-host doc
+    count, average quality (exact integer-micro-unit sum), target-language
+    fraction, and the host-level keep decision — the RefinedWeb-style
+    drop-whole-bad-hosts step, on the fixture's doc_id DIV 50 host proxy."""
+    from sparkforward.textstats import host_stats
+
+    return host_stats(
+        load_documents(spark, sf_dir),
+        min_docs=HOST_MIN_DOCS,
+        min_avg_quality=HOST_MIN_AVG_QUALITY,
+        min_lang_frac=HOST_MIN_LANG_FRAC,
+    )
+
+
+def sql_host_stats() -> str:
+    from sparkforward.textstats import LANG_ID_SQL, QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL.strip()}),
+lg AS ({LANG_ID_SQL.strip()}),
+per AS (
+  SELECT d.doc_id // 50 AS host_id,
+         CAST(round(q.quality * 1000000) AS BIGINT) AS q_int,
+         CASE WHEN lg.predicted_lang = 'en' THEN 1 ELSE 0 END AS is_lang
+  FROM documents d JOIN q ON q.doc_id = d.doc_id JOIN lg ON lg.doc_id = d.doc_id
+),
+agg AS (
+  SELECT host_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q_int) AS BIGINT) AS qsum,
+         CAST(sum(is_lang) AS BIGINT) AS lsum
+  FROM per GROUP BY host_id
+)
+SELECT host_id, n_docs,
+       round(qsum::DOUBLE / (n_docs * 1000000.0), 6) AS avg_quality,
+       round(lsum::DOUBLE / n_docs, 6) AS lang_frac,
+       (n_docs >= {HOST_MIN_DOCS} AND
+        round(qsum::DOUBLE / (n_docs * 1000000.0), 6) >= {HOST_MIN_AVG_QUALITY} AND
+        round(lsum::DOUBLE / n_docs, 6) >= {HOST_MIN_LANG_FRAC}) AS keep
+FROM agg
+"""
 
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

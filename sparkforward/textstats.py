@@ -171,6 +171,65 @@ FROM m
 """
 
 
+def host_stats(
+    docs: DataFrame,
+    host_col=None,
+    min_docs: int = 5,
+    min_avg_quality: float = 0.3,
+    min_lang_frac: float = 0.5,
+    require_lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """(host_id, n_docs, avg_quality, lang_frac, keep) — HOST-level
+    curation aggregates: real crawl pipelines apply quality floors per
+    host/domain (drop whole spammy or non-target-language hosts), not
+    only per document. ``host_col`` is any grouping Column (defaults to
+    ``doc_id DIV 50``, the synthetic fixture's host proxy; production
+    passes the url-derived host). One partial-aggregated groupBy over the
+    per-doc quality/lang signals — map-side combine, shuffle is
+    |hosts| rows.
+    """
+    host = F.col("doc_id") / F.lit(50) if host_col is None else host_col
+    host = host.cast("bigint")
+    q = quality_scores(docs, text_col).select("doc_id", "quality")
+    lg = lang_id(docs, text_col).select("doc_id", "predicted_lang")
+    per_doc = (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(lg, "doc_id")
+        .select(
+            host.alias("host_id"),
+            "quality",
+            (F.col("predicted_lang") == F.lit(require_lang)).cast("int").alias("is_lang"),
+        )
+    )
+    # per-doc quality is a 6-decimal value: summing exact integer
+    # micro-units keeps the host average independent of partial-agg
+    # summation order (float64 reassociation could flip round(.,6) at a
+    # boundary between engines)
+    q_int = F.round(F.col("quality") * F.lit(1e6)).cast("bigint")
+    agg = per_doc.groupBy("host_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(q_int).alias("_qsum"),
+        F.sum("is_lang").alias("_lsum"),
+    ).select(
+        "host_id",
+        "n_docs",
+        F.round(
+            F.col("_qsum").cast("double") / (F.col("n_docs") * F.lit(1e6)), 6
+        ).alias("avg_quality"),
+        F.round(F.col("_lsum").cast("double") / F.col("n_docs"), 6).alias("lang_frac"),
+    )
+    return agg.select(
+        "host_id", "n_docs", "avg_quality", "lang_frac",
+        (
+            (F.col("n_docs") >= F.lit(int(min_docs)))
+            & (F.col("avg_quality") >= F.lit(float(min_avg_quality)))
+            & (F.col("lang_frac") >= F.lit(float(min_lang_frac)))
+        ).alias("keep"),
+    )
+
+
 def deterministic_sample(
     docs: DataFrame, fraction: float, id_col: str = "doc_id"
 ) -> DataFrame:
