@@ -277,6 +277,11 @@ def main() -> None:
     t0 = time.perf_counter()
     exact_duplicates(docs).write.format("noop").mode("overwrite").save()
     pipeline_100k["dedup_exact_sec"] = round(time.perf_counter() - t0, 3)
+    from sparkforward.textstats import repetition_stats
+
+    t0 = time.perf_counter()
+    repetition_stats(docs).write.format("noop").mode("overwrite").save()
+    pipeline_100k["repetition_sec"] = round(time.perf_counter() - t0, 3)
     lat_sh = []
     for _ in range(2):  # best-of-2: the 64-agg codegen compile lands on run 1
         t0 = time.perf_counter()
