@@ -1857,6 +1857,15 @@ def q_coalesce_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.coalesce import coalesce_vectors
 
     emb = load_embeddings(spark, sf_dir)
+    n = emb.count()
+    if n % 4 != 0:
+        # the static oracle unrolls EXACTLY 4 slots per doc (any_value
+        # FILTER slot 0..3); a ragged last doc would NULL-propagate
+        # through every CASE arm and blame the engine — fail fast instead
+        raise ValueError(
+            f"coalesce_deep needs an embeddings count divisible by 4; "
+            f"{sf_dir!r} has {n}"
+        )
     src = emb.select(
         (F.col("vec_id") / 4).cast("bigint").cast("string").alias("doc_id"),
         F.col("vec_id").alias("vec_idx"),

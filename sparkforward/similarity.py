@@ -505,6 +505,11 @@ def fit_ivf_centroids(
             f"corpus has {len(rows)} vectors < n_centroids={n_centroids}"
         )
     rows.sort(key=lambda r: r["_id"])  # deterministic k-means input order
-    X = np.asarray([r[vec_col] for r in rows[: int(sample)]], dtype=np.float32)
+    # the sample budget must never truncate below what k-means needs —
+    # otherwise the widening loop's guarantee is void (code-review r5)
+    X = np.asarray(
+        [r[vec_col] for r in rows[: max(int(sample), int(n_centroids))]],
+        dtype=np.float32,
+    )
     cents = _kmeans(X, int(n_centroids), seed=seed)
     return [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]

@@ -189,7 +189,9 @@ def host_stats(
     per-doc quality/lang signals — map-side combine, shuffle is
     |hosts| rows.
     """
-    host = F.col("doc_id") / F.lit(50) if host_col is None else host_col
+    # integer DIV, not float division: doc_id / 50 rounds through double
+    # and misbuckets ids beyond 2^53 (the oracle's // is integer-exact)
+    host = F.expr("doc_id DIV 50") if host_col is None else host_col
     host = host.cast("bigint")
     q = quality_scores(docs, text_col).select("doc_id", "quality")
     lg = lang_id(docs, text_col).select("doc_id", "predicted_lang")
@@ -241,7 +243,12 @@ def deterministic_sample(
     property training-data pipelines need to re-materialize identical
     subsets. Pure JVM; the DuckDB oracle runs the same expression.
     """
-    thresh = format(int(float(fraction) * float(1 << 32)), "08x")
+    f = float(fraction)
+    if f >= 1.0:
+        return docs  # a 9-char threshold would break the fixed-width compare
+    if f <= 0.0:
+        return docs.filter(F.lit(False))
+    thresh = format(int(f * float(1 << 32)), "08x")
     # lexicographic compare of fixed-width lowercase hex == numeric
     # compare, and avoids any engine-specific hex->int conversion
     return docs.filter(
@@ -295,12 +302,20 @@ def pack_shards(
     excl = F.sum("n_tokens").over(w) - F.col("n_tokens") + F.coalesce(off, F.lit(0))
     # integer DIV: exact beyond 2^53 total tokens, where a float floor
     # would misassign shards at web scale
+    from sparkforward.score import _persistent_rdd_ids
+
+    spark = docs.sparkSession
+    before = _persistent_rdd_ids(spark)
     out = tc.withColumn("_excl", excl.cast("bigint")).selectExpr(
         id_col,
         "n_tokens",
         f"CAST(_excl DIV {int(budget_tokens)} AS BIGINT) AS shard_id",
     ).localCheckpoint(eager=True)
     tc.unpersist()
+    # the result is backed by this eager checkpoint; expose its storage
+    # ownership so long-lived callers can release it (the same contract
+    # as connected_components / corpus_keep_filter)
+    out._sfwd_owned_rdd_ids = _persistent_rdd_ids(spark) - before
     return out
 
 

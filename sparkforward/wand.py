@@ -366,7 +366,7 @@ class _VecCursor:
     """
 
     __slots__ = (
-        "idf", "n", "lasts", "firsts", "ubs", "lens", "pstarts",
+        "idf", "n", "lasts", "firsts", "ubs", "lens",
         "doc_bnd", "tf_bnd", "dl_bnd", "doc_blob", "tf_blob", "dl_blob",
         "n_blocks", "_docs", "_scores", "_have", "blocks_decoded", "_avgdl",
     )
@@ -397,9 +397,6 @@ class _VecCursor:
             self.lens = np.full(nb, block_size, dtype=np.int64)
             if nb:
                 self.lens[-1] = self.n - (nb - 1) * block_size
-        self.pstarts = np.concatenate(
-            ([0], np.cumsum(self.lens))
-        )  # posting offset of each block + total
         self.doc_bnd = np.asarray(
             list(row["block_doc_off"]) + [len(self.doc_blob)], dtype=np.int64
         )

@@ -10,10 +10,6 @@ import os
 import pytest
 
 SF = "/root/testdata/sf0.001"
-# corpus-dependent entries (quantized_index, opq_index) refuse to serve a
-# corpus their oracle did not fit on (queries._require_oracle_corpus) —
-# this audit only inspects plans, so couple the oracle corpus to SF
-os.environ["SPARKFORWARD_ORACLE_SF"] = SF
 
 
 def _plan(df) -> str:
@@ -22,9 +18,20 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def entries():
+    # corpus-dependent entries (quantized_index, opq_index) refuse to
+    # serve a corpus their oracle did not fit on — this audit only
+    # inspects plans, so couple the oracle corpus to SF for the duration
+    # of THIS module (a module-import-time os.environ write would leak
+    # into every later test in the process — code-review r5)
+    old = os.environ.get("SPARKFORWARD_ORACLE_SF")
+    os.environ["SPARKFORWARD_ORACLE_SF"] = SF
     import __spark_entry__ as m
 
-    return m.queries()
+    yield m.queries()
+    if old is None:
+        os.environ.pop("SPARKFORWARD_ORACLE_SF", None)
+    else:
+        os.environ["SPARKFORWARD_ORACLE_SF"] = old
 
 
 def test_no_cross_products_anywhere(spark, entries):
