@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q.q_dedup_simhash,
         # duplicate clustering: connected components over the pair set
         "dedup_clusters": q.q_dedup_clusters,
+        # streaming content-hash dedup (batch twin; stream parity in pytest)
+        "dedup_keep_first": q.q_dedup_keep_first,
         # events / streaming analytics (batch modes of the streaming ops)
         "event_window": q.q_event_window,
         "user_sessions": q.q_user_sessions,
@@ -166,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": q.sql_doc_fingerprint(),
         "dedup_simhash": q.sql_dedup_simhash(),
         "dedup_clusters": q.sql_dedup_clusters(),
+        "dedup_keep_first": q.sql_dedup_keep_first(),
         "event_window": q.sql_event_window(),
         "user_sessions": q.sql_user_sessions(),
         "token_count": q.sql_token_count(),

@@ -1649,6 +1649,40 @@ FROM c
 """
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence exact dedup (the batch twin of the streaming
+    content-hash dedup, streaming.dedup_keep_first_batch) over a corpus
+    with PLANTED exact duplicates: copies of every (doc_id % 14 == 0) doc
+    above the id range (copy is dropped) and of every (doc_id % 14 == 7)
+    doc below it (copy WINS — the keep set is not just the originals)."""
+    from sparkforward.streaming import dedup_keep_first_batch
+
+    d = load_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    hi = d.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"
+    )
+    lo = d.filter(F.col("doc_id") % 14 == 7).select(
+        (F.col("doc_id") - F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return dedup_keep_first_batch(d.unionByName(hi).unionByName(lo))
+
+
+def sql_dedup_keep_first() -> str:
+    return """
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 2000000 AS BIGINT), text FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT CAST(doc_id - 1000000 AS BIGINT), text FROM documents WHERE doc_id % 14 = 7
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS content_md5
+FROM corpus GROUP BY md5(text)
+"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition quality signals (duplicate token / 2-gram
     fractions, top-2-gram share) over the documents table — the

@@ -320,3 +320,67 @@ def attach_session_ordinals(sessions: DataFrame) -> DataFrame:
     return sessions.withColumn(
         "session_no", (F.row_number().over(w) - 1).cast("bigint")
     )
+
+
+# ------------------------------------------- streaming exact dedup #
+def dedup_keep_first_batch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, content_md5) — first-occurrence EXACT dedup: for every
+    distinct content hash keep the minimum doc id. The batch twin of
+    :func:`dedup_keep_first_stream`; one partial-aggregated groupBy-min
+    (map-side combine — shuffle is |distinct contents| rows, the 100 TB
+    shape), no join."""
+    return (
+        docs.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.md5(F.col(text_col)).alias("content_md5"),
+        )
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_md5")
+    )
+
+
+def dedup_keep_first_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming first-occurrence exact dedup: per-content-hash state via
+    ``applyInPandasWithState`` emits the first arrival of each distinct
+    content (min doc id within its first micro-batch) and drops every
+    later duplicate.
+
+    Equals :func:`dedup_keep_first_batch` whenever duplicates arrive in
+    id order (time-ordered crawl files — the same ordering contract the
+    sessionizer's parity holds under); with out-of-order arrival the
+    stream keeps the first ARRIVAL, the batch twin the global minimum —
+    the standard streaming-dedup semantics. State is one row per distinct
+    content hash and never expires (exact dedup must remember everything
+    it has admitted — capacity-bound it upstream by partitioning the
+    stream by content-hash range if the corpus outgrows state storage).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        (h,) = key
+        batch = pd.concat(list(pdfs))
+        if state.exists:
+            return  # already admitted: every later arrival is a duplicate
+        state.update((int(batch["doc_id"].min()),))
+        yield pd.DataFrame(
+            {"doc_id": [int(batch["doc_id"].min())], "content_md5": [h]}
+        )
+
+    src = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )
+    return src.groupBy("content_md5").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, content_md5 string",
+        stateStructType="kept long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -806,3 +806,52 @@ def test_attach_session_ordinals_matches_batch(spark, tmp_path):
     a = batch[cols].sort_values(cols).reset_index(drop=True)
     b = got[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_keep_first_stream_matches_batch(spark, tmp_path):
+    """Streaming content-hash dedup (round 5): with duplicates arriving in
+    id order (time-ordered crawl files), the stateful stream emits exactly
+    the batch twin's keep set — one row per distinct content, minimum id —
+    and duplicate arrivals in LATER micro-batches are dropped by state."""
+    import time as _time
+
+    import pandas as pd
+
+    from sparkforward.streaming import (
+        dedup_keep_first_batch,
+        dedup_keep_first_stream,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((i, f"content number {i % 20}"))  # every text x3 dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src_dir = str(tmp_path / "dk")
+    # three id-ordered slices with increasing mod times (file-source order)
+    for lo in (0, 20, 40):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 20)
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _time.sleep(1.1)
+
+    batch = dedup_keep_first_batch(spark.read.parquet(src_dir)).toPandas()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        dedup_keep_first_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dkf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM dkf").toPandas()
+    key = ["doc_id", "content_md5"]
+    a = batch[key].sort_values(key).reset_index(drop=True)
+    b = streamed[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) == 20  # 60 rows, 20 distinct contents
