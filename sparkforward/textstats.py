@@ -95,10 +95,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     documents dominated by repeated fragments are low-quality training
     data): fraction of non-distinct tokens, fraction of non-distinct
     token 2-grams, and the share of the most frequent 2-gram. All
-    computed WITHIN the row (split/transform/filter/array_distinct —
-    whole-stage codegen, zero shuffle, O(len^2) worst case per doc on
-    the distinct-gram count scan); fractions round to 6 decimals with
-    the identical float64 divisions the DuckDB oracle performs.
+    computed WITHIN the row (split/transform/array_distinct/array_sort
+    — whole-stage codegen, zero shuffle; the top-gram multiplicity is
+    the longest equal-run of the sorted gram list, an O(len log len)
+    fold); fractions round to 6 decimals with the identical float64
+    divisions the DuckDB oracle performs.
     """
     toks = _tokens_col(text_col)
     grams = F.when(
@@ -113,21 +114,47 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(toks).alias("_nt"),
         F.size(F.array_distinct(toks)).alias("_ndt"),
         grams.alias("_g"),
-    ).select(
+    )
+    # top multiplicity == longest equal-run of the SORTED gram list. The
+    # sorted array is MATERIALIZED as a column first (an array_sort
+    # referenced inside a lambda re-evaluates per element — measured 3x
+    # slower than even the quadratic scan), adjacent equality collapses to
+    # an int array via one zip_with of shifted slices, and the longest
+    # run folds over cheap ints: 5.2 s vs 8.1 s (quadratic
+    # count-per-distinct) vs 23.5 s (fold with inline sort) at 20k docs.
+    src = src.withColumn("_gs", F.array_sort("_g"))
+    pair_len = F.greatest(F.size("_gs") - 1, F.lit(1))
+    eq_arr = F.zip_with(
+        F.slice("_gs", 2, pair_len),
+        F.slice("_gs", 1, pair_len),
+        lambda x, y: (x == y).cast("int"),
+    )
+
+    def _run_step(acc, e):
+        run_new = F.when(e == 1, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            run_new.alias("run"), F.greatest(acc["best"], run_new).alias("best")
+        )
+
+    topg = (
+        F.when(F.size("_gs") == 0, F.lit(0))
+        .when(F.size("_gs") == 1, F.lit(1))
+        .otherwise(
+            F.aggregate(
+                eq_arr,
+                F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+                _run_step,
+                lambda acc: acc["best"],
+            )
+        )
+    )
+    src = src.select(
         "doc_id",
         "_nt",
         "_ndt",
         F.size("_g").alias("_ng"),
         F.size(F.array_distinct("_g")).alias("_ndg"),
-        F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct("_g"),
-                    lambda g: F.size(F.filter("_g", lambda x: x == g)),
-                )
-            ),
-            F.lit(0),
-        ).alias("_topg"),
+        topg.alias("_topg"),
     )
     frac = lambda num, den: F.round(  # noqa: E731
         F.when(F.col(den) > 0, num.cast("double") / F.col(den)).otherwise(0.0), 6
