@@ -1044,6 +1044,153 @@ SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score FROM rr2 WHERE rank <= 2
 """
 
 
+# ------------------------------------------------- IVF-PQ (ADC) serving #
+_ADC_LUT_CACHE: dict[str, list] = {}
+
+
+def _adc_luts(sf_dir: str) -> list:
+    """Shared ADC look-up tables for the gate queries — computed ONCE from
+    the parquet fixture (no SparkSession needed, so the oracle generator
+    and the Spark entry consume byte-identical values) and memoized."""
+    hit = _ADC_LUT_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import duckdb
+
+    from sparkforward.similarity import build_adc_luts
+
+    ids = sorted(set(MODE_QVEC_ID.values()))
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({', '.join(map(str, ids))})"
+    ).fetchall()
+    by_id = {r[0]: r[1] for r in rows}
+    qvecs = {q: by_id[v] for q, v in MODE_QVEC_ID.items()}
+    out = build_adc_luts(_fitted_pq(sf_dir), qvecs)
+    _ADC_LUT_CACHE[sf_dir] = out
+    return out
+
+
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC ANN serving (similarity.ivfpq_topk): coarse-quantize into
+    {IVF_CENTROIDS} lists, PQ-encode to {PQ_M} codes, probe {IVF_PROBE}
+    lists per query and score candidates purely from broadcast look-up
+    tables — the FAISS-IVFPQ architecture billion-scale ANN actually
+    serves with, under the hash-matched gate."""
+    from sparkforward.similarity import ivfpq_topk
+
+    _require_oracle_corpus(sf_dir, "similarity_ivfpq_topk")
+    quant = _PQ_CACHE.get(sf_dir)
+    if quant is None:
+        import numpy as np
+
+        rows = (
+            load_embeddings(spark, sf_dir)
+            .filter(F.col("vec_id") < PQ_FIT_N)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        rows.sort(key=lambda r: r["vec_id"])
+        quant = _fitted_pq(
+            sf_dir, X=np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+        )
+    emb = load_embeddings(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    return ivfpq_topk(
+        emb, qvecs, quant, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        k=K_FINAL, luts=_adc_luts(sf_dir),
+    )
+
+
+def sql_similarity_ivfpq_topk() -> str:
+    """Oracle twin: literal centroids + the SAME PQ codebooks as
+    quantized_index (shared fitted object), code assignment via the
+    proven sequential-fold recipe, the ADC tables inlined verbatim as
+    STRING-cast literals, and the per-candidate score as an m-ordered
+    list_dot_product against ones — the same left fold as F.aggregate."""
+    osf = _oracle_sf_dir()
+    luts = _adc_luts(osf)
+    M = PQ_M
+    Ks = PQ_KS
+    dsub = 64 // PQ_M
+    lut_rows = ",\n".join(
+        f"('{q}',{i},'{float(w)!r}'::DOUBLE)"
+        for q, lut in luts
+        for i, w in enumerate(lut)
+    )
+    return f"""
+WITH qvec(q_id, qvec_id) AS (VALUES {_values_qvec(MODE_QVEC_ID)}),
+qv AS (SELECT q_id, embedding::DOUBLE[] AS qe FROM qvec JOIN embeddings ON qvec_id = vec_id),
+cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv FROM embeddings
+         WHERE vec_id < {IVF_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(1 - list_dot_product(e.embedding::DOUBLE[], c.cv)
+                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cv, c.cv))), 6) ASC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q.q_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(1 - list_dot_product(q.qe, c.cv)
+                        / (sqrt(list_dot_product(q.qe, q.qe))
+                           * sqrt(list_dot_product(c.cv, c.cv))), 6) ASC,
+                      c.cent_id ASC
+           ) AS rn
+    FROM qv q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_PROBE}
+),
+cand AS (SELECT p.q_id, a.vec_id FROM probe p JOIN assign a ON a.cent_id = p.cent_id),
+cvec AS (SELECT DISTINCT vec_id FROM cand),
+pv AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+       FROM embeddings e JOIN cvec USING (vec_id)),
+cw(m, ks, c) AS (VALUES {_pq_codeword_values(osf)}),
+dist AS (
+  SELECT p.vec_id, w.m, w.ks,
+         round(list_dot_product(
+           list_transform(range(1, {dsub + 1}), j -> p.v[w.m*{dsub} + j] - w.c[j]),
+           list_transform(range(1, {dsub + 1}), j -> p.v[w.m*{dsub} + j] - w.c[j])
+         ), 6) AS d2
+  FROM pv p CROSS JOIN cw w
+),
+code AS (
+  SELECT vec_id, m, ks FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, ks ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+lut(q_id, idx, w) AS (VALUES {lut_rows}),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_dot_product(
+           list(l.w ORDER BY co.m),
+           list_transform(range(1, {M + 1}), x -> 1.0)), 6) AS score
+  FROM cand c
+  JOIN code co ON co.vec_id = c.vec_id
+  JOIN lut l ON l.q_id = c.q_id AND l.idx = co.m * {Ks} + co.ks
+  GROUP BY c.q_id, c.vec_id
+),
+rr AS (SELECT q_id, vec_id, score,
+       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rank
+       FROM scored)
+SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, score FROM rr WHERE rank <= {K_FINAL}
+"""
+
+
 # ------------------------------------------------------------ similarity #
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 ANN baseline over the embeddings table."""

@@ -464,6 +464,151 @@ def ivf_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vectors: DataFrame,
+    quantizer,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+    luts: list | None = None,
+) -> DataFrame:
+    """(q_id, id, rank, score) — IVF-ADC serving, the billion-scale ANN
+    architecture (FAISS IVFPQ shape): coarse-quantize vectors into
+    inverted lists, PQ-encode them to M uint8 codes, and score candidates
+    WITHOUT touching float vectors — per query a tiny look-up table
+    ``lut[m*Ks + code]`` = dot(query subvector, codeword) is built on the
+    driver and broadcast; a candidate's approximate inner product is the
+    ordered sum of M table entries indexed by its codes.
+
+    The 100 TB shape: the scan reads |probed lists| rows of (cent_id,
+    codes) — dim/M bytes per vector instead of 4*dim — candidates come
+    from one broadcast equi-join on cent_id, and scoring is a pure-JVM
+    fold over the broadcast LUT (zero Python, zero float-vector I/O).
+    Determinism: LUT entries are float64 sequential-fold dots computed
+    once driver-side (both the Spark side and the DuckDB oracle consume
+    the SAME values — inlined as literals there); the per-candidate sum
+    folds over m ascending (F.aggregate == list_dot_product order), so
+    ``round(score, 6)`` is bit-reproducible. Ranks break ties by id asc.
+
+    ``quantizer``: a fitted ProductQuantizer; ``centroids`` defaults to
+    the vectors with ``id < n_centroids`` (the oracle-reproducible fixed
+    codebook); ``luts`` overrides the per-query tables (shared with an
+    oracle generator).
+    """
+    import numpy as np
+
+    from sparkforward.quantize import encode_column
+
+    spark = emb.sparkSession
+    if centroids is None:
+        centroids = [
+            (int(r["cent_id"]), list(r["cv"]))
+            for r in emb.filter(F.col(id_col) < int(n_centroids))
+            .select(F.col(id_col).cast("int").alias("cent_id"), F.col(vec_col).alias("cv"))
+            .collect()
+        ]
+    cent_norm = {c: _seq_norm(v) for c, v in centroids}
+
+    def dist_structs(vcol):
+        vnorm = F.sqrt(dot_expr(vcol, vcol))
+        entries = []
+        for cid, cv in centroids:
+            lit = F.array(*[F.lit(float(x)) for x in cv])
+            d = F.round(
+                F.lit(1.0) - dot_expr(vcol, lit) / (vnorm * F.lit(cent_norm[cid])), 6
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
+        return F.array(*entries)
+
+    M, Ks, dsub = quantizer.codebooks.shape
+    if luts is None:
+        luts = build_adc_luts(
+            quantizer,
+            {r["q_id"]: r["q_vector"] for r in query_vectors.collect()},
+        )
+    lut_df = spark.createDataFrame(luts, "q_id string, lut array<double>")
+
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    assigned = src.withColumn(
+        "cent_id", F.array_min(dist_structs(F.col("_v"))).getField("c")
+    )
+    codes = encode_column(
+        src.select("_id", F.col("_v").alias("vector")), quantizer
+    ).select("_id", F.col("vector").alias("codes"))
+    table = assigned.select("_id", "cent_id").join(codes, "_id")
+    probes = query_vectors.select(
+        "q_id",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(dist_structs(F.col("q_vector"))), lambda s: s["c"]
+                ),
+                1,
+                int(n_probe),
+            )
+        ).alias("cent_id"),
+    )
+    cand = (
+        table.join(F.broadcast(probes), "cent_id")
+        .join(F.broadcast(lut_df), "q_id")
+        .select(
+            "q_id",
+            "_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(int(M) - 1)),
+                    F.lit(0.0),
+                    lambda acc, m: acc
+                    + F.element_at(
+                        "lut",
+                        (
+                            m * F.lit(int(Ks))
+                            + F.element_at(F.col("codes"), m + 1).cast("int")
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+        .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "score")
+    )
+
+
+def build_adc_luts(quantizer, qvecs: dict) -> list:
+    """[(q_id, flat lut)] — ADC tables: ``lut[m*Ks + ks]`` = float64
+    sequential-fold dot of the query's m-th subvector with codeword
+    (m, ks). Computed ONCE driver-side and shared verbatim by the Spark
+    serve (broadcast column) and the DuckDB oracle (inlined literals), so
+    the two sides cannot diverge by construction."""
+    import numpy as np
+
+    M, Ks, dsub = quantizer.codebooks.shape
+    out = []
+    for q_id in sorted(qvecs):
+        qv = np.asarray(qvecs[q_id], dtype=np.float64)
+        lut = []
+        for m in range(M):
+            sub = qv[m * dsub : (m + 1) * dsub]
+            C = quantizer.codebooks[m].astype(np.float64)
+            for ks_ in range(Ks):
+                acc = 0.0
+                for j in range(dsub):
+                    acc += float(sub[j]) * float(C[ks_, j])
+                lut.append(acc)
+        out.append((q_id, lut))
+    return out
+
+
 def fit_ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
