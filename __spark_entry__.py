@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q.q_bm25_topk,
         "bm25_wand_topk": q.q_bm25_wand_topk,
         "interpolate_from_wand": q.q_interpolate_from_wand,
+        # RM3 pseudo-relevance-feedback expansion over the native first stage
+        "bm25_rm3_topk": q.q_bm25_rm3_topk,
         # TREC runfile sink + source round trip (SURVEY §2.1 R12/R13)
         "trec_roundtrip": q.q_trec_roundtrip,
         # ranking algebra (SURVEY §2.1)
@@ -145,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         # WAND top-100 is rank-identical to BM25 top-100, so the composed
         # pipeline shares the exhaustive interpolation oracle
         "interpolate_from_wand": q.sql_interpolate_rerank(),
+        "bm25_rm3_topk": q.sql_bm25_rm3_topk(),
         "trec_roundtrip": q.sql_trec_roundtrip(),
         "rank_cut": q.sql_rank_cut(),
         "minmax_normalize": q.sql_minmax_normalize(),

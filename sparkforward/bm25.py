@@ -202,3 +202,105 @@ def bm25_ranking(
     scored = bm25_topk(docs, queries, k=k, **kw)
     r = Ranking(scored.select("q_id", "id", F.col("score").cast("float").alias("score")), name="bm25")
     return r.attach_queries(queries.select("q_id", "query"))
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_fb: int = 10,
+    n_exp: int = 5,
+    exp_weight: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(q_id, id, rank, score) — RM3-style pseudo-relevance-feedback
+    retrieval: run BM25, take each query's top ``k_fb`` documents, expand
+    the query with the ``n_exp`` most frequent non-query terms of those
+    documents (total term frequency in the feedback set — an integer
+    weight, so expansion selection is summation-order-exact), then score
+    ``round(base, 4) + exp_weight * round(expansion_bm25, 4)`` and rank
+    (score desc, id asc). Cf. Lavrenko & Croft relevance models / the
+    RM3 variant every Anserini/PyTerrier stack ships.
+
+    Plans like two chained bm25_scores calls: the tokenize pass is shared
+    (one persisted tf frame feeds both stages and the feedback
+    aggregation), expansion terms prune tf with a pushed In-filter before
+    any statistics shuffle, and the feedback aggregate is
+    |feedback docs x their terms| with map-side combine. The only driver
+    materialization is the expansion term list (|queries| x n_exp rows).
+    """
+    from pyspark.sql import Window
+
+    from sparkforward.tokenize import doc_lengths, tokenize
+
+    spark = queries.sparkSession
+    tf = _tf_persisted(docs, id_col, text_col)
+
+    pairs = []
+    for r in queries.select("q_id", "query").collect():
+        seen = set()
+        for t in tokenize(r["query"] or ""):
+            if t not in seen:
+                seen.add(t)
+                pairs.append((r["q_id"], t))
+    qt = spark.createDataFrame(pairs, "q_id string, term string")
+    global_stats = doc_lengths(tf).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    def score_pairs(pairs_df: DataFrame, term_list: list[str]) -> DataFrame:
+        tf_q = tf.filter(F.col("term").isin(term_list))
+        df_stats = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+        return (
+            score_terms(tf_q, df_stats, global_stats, pairs_df)
+            .groupBy("q_id", "doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+
+    base = score_pairs(qt, sorted({t for _, t in pairs}))
+    w_fb = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("score", SCORE_DECIMALS)),
+        F.asc(F.col("doc_id").cast("bigint")),
+        F.asc("doc_id"),
+    )
+    fb = (
+        base.withColumn("rank", F.row_number().over(w_fb))
+        .filter(F.col("rank") <= int(k_fb))
+        .select("q_id", "doc_id")
+    )
+    fbw = (
+        tf.select("doc_id", "term", "tf")
+        .join(F.broadcast(fb), "doc_id")
+        .join(qt, ["q_id", "term"], "left_anti")
+        .groupBy("q_id", "term")
+        .agg(F.sum("tf").cast("bigint").alias("w"))
+    )
+    w_exp = Window.partitionBy("q_id").orderBy(F.desc("w"), F.asc("term"))
+    exp_rows = [
+        (r["q_id"], r["term"])
+        for r in fbw.withColumn("rn", F.row_number().over(w_exp))
+        .filter(F.col("rn") <= int(n_exp))
+        .select("q_id", "term")
+        .collect()
+    ]
+    base_r = base.select(
+        "q_id", "doc_id", F.round("score", SCORE_DECIMALS).alias("b")
+    )
+    if exp_rows:
+        qt2 = spark.createDataFrame(exp_rows, "q_id string, term string")
+        exp_sc = score_pairs(qt2, sorted({t for _, t in exp_rows})).select(
+            "q_id", "doc_id", F.round("score", SCORE_DECIMALS).alias("e")
+        )
+        merged = base_r.join(exp_sc, ["q_id", "doc_id"], "full_outer").select(
+            "q_id",
+            "doc_id",
+            (
+                F.coalesce("b", F.lit(0.0))
+                + F.lit(float(exp_weight)) * F.coalesce("e", F.lit(0.0))
+            ).alias("score"),
+        )
+    else:
+        merged = base_r.select("q_id", "doc_id", F.col("b").alias("score"))
+    return topk(merged, k)

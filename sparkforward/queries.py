@@ -1044,6 +1044,76 @@ SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score FROM rr2 WHERE rank <= 2
 """
 
 
+# --------------------------------------- RM3 pseudo-relevance feedback #
+RM3_K_FB = 10
+RM3_N_EXP = 5
+RM3_WEIGHT = 0.4
+
+
+def q_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback retrieval (bm25.bm25_rm3_topk):
+    BM25 -> top-{RM3_K_FB} feedback docs -> expand with the {RM3_N_EXP}
+    most frequent non-query feedback terms -> re-score
+    base + {RM3_WEIGHT} x expansion. The query-expansion stage every
+    Anserini/PyTerrier first-stage stack ships, over the native engine."""
+    from sparkforward.bm25 import bm25_rm3_topk
+
+    qdf = spark.createDataFrame(QUERY_SET, "q_id string, query string")
+    return bm25_rm3_topk(
+        load_documents(spark, sf_dir), qdf,
+        k=10, k_fb=RM3_K_FB, n_exp=RM3_N_EXP, exp_weight=RM3_WEIGHT,
+    )
+
+
+def sql_bm25_rm3_topk() -> str:
+    """Oracle twin: the shared BM25 CTE template supplies stage 1; the
+    feedback weight is an exact integer tf sum (NOT EXISTS excludes
+    original query terms), expansion picks (w desc, term asc), and the
+    final score mirrors round(round(base,4) + '0.4'::DOUBLE *
+    round(exp,4), 4) — the weight as a STRING-cast double (the DECIMAL
+    literal ulp trap)."""
+    return f"""
+WITH {_bm25_ctes()},
+fb AS (SELECT q_id, doc_id FROM bm25_ranked WHERE rank <= {RM3_K_FB}),
+fbw AS (
+  SELECT f.q_id, t.term, CAST(sum(t.tf) AS BIGINT) AS w
+  FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM qterms x WHERE x.q_id = f.q_id AND x.term = t.term
+  )
+  GROUP BY f.q_id, t.term
+),
+exp AS (
+  SELECT q_id, term FROM (
+    SELECT q_id, term,
+           row_number() OVER (PARTITION BY q_id ORDER BY w DESC, term ASC) AS rn
+    FROM fbw
+  ) WHERE rn <= {RM3_N_EXP}
+),
+expsc AS (
+  SELECT ex.q_id, tf.doc_id,
+    round(sum( ln(1 + (stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5))
+       * tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)) ),
+          {SCORE_DECIMALS}) AS e
+  FROM exp ex JOIN tf ON tf.term = ex.term JOIN dl ON dl.doc_id = tf.doc_id
+       JOIN dfreq ON dfreq.term = ex.term CROSS JOIN stats
+  GROUP BY ex.q_id, tf.doc_id
+),
+final AS (
+  SELECT COALESCE(b.q_id, x.q_id) AS q_id,
+         COALESCE(b.doc_id, x.doc_id) AS doc_id,
+         round(COALESCE(b.score, 0) + '{RM3_WEIGHT}'::DOUBLE * COALESCE(x.e, 0),
+               {SCORE_DECIMALS}) AS score
+  FROM bm25 b FULL OUTER JOIN expsc x
+       ON b.q_id = x.q_id AND b.doc_id = x.doc_id
+),
+rr AS (SELECT q_id, doc_id, score,
+       row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank
+       FROM final)
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score FROM rr WHERE rank <= 10
+"""
+
+
 # ------------------------------------------------- IVF-PQ (ADC) serving #
 _ADC_LUT_CACHE: dict[str, list] = {}
 

@@ -89,3 +89,24 @@ def test_empty_and_unknown_query_terms(spark):
     )
     got = bm25_topk(docs, qdf, k=5).toPandas()
     assert set(got["q_id"]) == {"qm"}  # only the query with a known term scores
+
+
+def test_rm3_expands_and_changes_ranking(spark):
+    """RM3 sanity (round 5): the feedback expansion must actually add
+    non-query terms and move at least one ranking relative to plain BM25
+    (the fixture's head terms co-occur, so feedback terms carry signal);
+    with exp_weight=0 the output must equal plain bm25_topk exactly."""
+    from sparkforward.bm25 import bm25_rm3_topk, bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(
+        [("q1", "spark query join"), ("q2", "filter window stream")],
+        "q_id string, query string",
+    )
+    plain = {(r["q_id"], r["id"], r["rank"]) for r in bm25_topk(docs, qdf, k=10).collect()}
+    rm3 = {(r["q_id"], r["id"], r["rank"]) for r in
+           bm25_rm3_topk(docs, qdf, k=10).collect()}
+    assert rm3 != plain  # expansion changed something
+    zero = {(r["q_id"], r["id"], r["rank"]) for r in
+            bm25_rm3_topk(docs, qdf, k=10, exp_weight=0.0).collect()}
+    assert zero == plain  # weight 0 degenerates to plain BM25
