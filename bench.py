@@ -494,8 +494,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "suite_wall_sec",
                 "value": total,
@@ -521,8 +520,16 @@ def main() -> None:
                 "deep_rerank": deep,
                 "cores": CPUS,
             }
-        )
     )
+    print(payload)
+    # Also persist the line: the driver's stdout tail-capture truncated
+    # BENCH_r05.json mid-JSON and lost the per-query head (judge r5 #8) —
+    # a git-tracked file survives any stdout limit.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "last_run.json"), "w") as fh:
+        fh.write(payload + "\n")
     spark.stop()
 
 
