@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_kernel_topk": q.q_similarity_ivf_kernel_topk,
         # IVF-ADC: probe + look-up-table scoring over PQ codes (FAISS IVFPQ)
         "similarity_ivfpq_topk": q.q_similarity_ivfpq_topk,
+        # same serve from a PERSISTED (written + reloaded) IVFPQ index
+        "similarity_ivfpq_persisted": q.q_similarity_ivfpq_persisted,
         # dedup (dedup_embedding = all-pairs oracle baseline;
         #        dedup_embedding_lsh = the bucketed scale path)
         "dedup_exact": q.q_dedup_exact,
@@ -165,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         # the Arrow-kernel dispatch must match the literal path's oracle
         "similarity_ivf_kernel_topk": q.sql_similarity_ivf_topk(),
         "similarity_ivfpq_topk": q.sql_similarity_ivfpq_topk(),
+        # persistence is semantically invisible: same oracle
+        "similarity_ivfpq_persisted": q.sql_similarity_ivfpq_persisted(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
         "dedup_minhash_selective": q.sql_dedup_minhash_selective(),

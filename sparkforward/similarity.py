@@ -13,9 +13,11 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -499,18 +501,50 @@ def ivfpq_topk(
     codebook); ``luts`` overrides the per-query tables (shared with an
     oracle generator).
     """
-    import numpy as np
-
-    from sparkforward.quantize import encode_column
-
     spark = emb.sparkSession
     if centroids is None:
-        centroids = [
-            (int(r["cent_id"]), list(r["cv"]))
-            for r in emb.filter(F.col(id_col) < int(n_centroids))
-            .select(F.col(id_col).cast("int").alias("cent_id"), F.col(vec_col).alias("cv"))
-            .collect()
-        ]
+        centroids = _default_centroids(emb, n_centroids, id_col, vec_col)
+    dist_structs = _centroid_dist_structs(centroids)
+
+    M, Ks, dsub = quantizer.codebooks.shape
+    if luts is None:
+        luts = build_adc_luts(
+            quantizer,
+            {r["q_id"]: r["q_vector"] for r in query_vectors.collect()},
+        )
+    lut_df = spark.createDataFrame(luts, "q_id string, lut array<double>")
+
+    table = _ivfpq_codes_table(emb, quantizer, centroids, id_col, vec_col)
+    probes = query_vectors.select(
+        "q_id",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(dist_structs(F.col("q_vector"))), lambda s: s["c"]
+                ),
+                1,
+                int(n_probe),
+            )
+        ).alias("cent_id"),
+    )
+    return _adc_rank(table, probes, lut_df, M, Ks, k)
+
+
+def _default_centroids(emb, n_centroids, id_col, vec_col) -> list:
+    """The oracle-reproducible fixed codebook: vectors with id < K."""
+    return [
+        (int(r["cent_id"]), list(r["cv"]))
+        for r in emb.filter(F.col(id_col) < int(n_centroids))
+        .select(F.col(id_col).cast("int").alias("cent_id"), F.col(vec_col).alias("cv"))
+        .collect()
+    ]
+
+
+def _centroid_dist_structs(centroids: list):
+    """vcol -> array<struct<d, c>> of rounded cosine distances to the
+    literal centroids — the shared coarse-quantize expression (corpus
+    assignment AND query probing fold identically, so both sides of the
+    equi-join agree on list membership by construction)."""
     cent_norm = {c: _seq_norm(v) for c, v in centroids}
 
     def dist_structs(vcol):
@@ -524,14 +558,16 @@ def ivfpq_topk(
             entries.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
         return F.array(*entries)
 
-    M, Ks, dsub = quantizer.codebooks.shape
-    if luts is None:
-        luts = build_adc_luts(
-            quantizer,
-            {r["q_id"]: r["q_vector"] for r in query_vectors.collect()},
-        )
-    lut_df = spark.createDataFrame(luts, "q_id string, lut array<double>")
+    return dist_structs
 
+
+def _ivfpq_codes_table(emb, quantizer, centroids, id_col, vec_col):
+    """(_id, cent_id, codes): the IVF-PQ storage relation — each vector's
+    inverted-list id plus its M uint8 PQ codes; float vectors never leave
+    this builder."""
+    from sparkforward.quantize import encode_column
+
+    dist_structs = _centroid_dist_structs(centroids)
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     assigned = src.withColumn(
         "cent_id", F.array_min(dist_structs(F.col("_v"))).getField("c")
@@ -539,19 +575,12 @@ def ivfpq_topk(
     codes = encode_column(
         src.select("_id", F.col("_v").alias("vector")), quantizer
     ).select("_id", F.col("vector").alias("codes"))
-    table = assigned.select("_id", "cent_id").join(codes, "_id")
-    probes = query_vectors.select(
-        "q_id",
-        F.explode(
-            F.slice(
-                F.transform(
-                    F.array_sort(dist_structs(F.col("q_vector"))), lambda s: s["c"]
-                ),
-                1,
-                int(n_probe),
-            )
-        ).alias("cent_id"),
-    )
+    return assigned.select("_id", "cent_id").join(codes, "_id")
+
+
+def _adc_rank(table, probes, lut_df, M, Ks, k):
+    """Score (cent_id-joined) candidates by the m-ordered LUT fold and cut
+    top-k per query — the shared ADC serve tail."""
     cand = (
         table.join(F.broadcast(probes), "cent_id")
         .join(F.broadcast(lut_df), "q_id")
@@ -582,6 +611,138 @@ def ivfpq_topk(
         .filter(F.col("rank") <= int(k))
         .select("q_id", F.col("_id").cast("string").alias("id"), "rank", "score")
     )
+
+
+class IVFPQIndex:
+    """A persisted IVF-PQ serving index: a cent_id-PARTITIONED parquet
+    codes table (one directory per inverted list — probing k lists reads
+    exactly k directories via static partition pruning, the on-disk twin
+    of FAISS's inverted-list files) plus a JSON manifest carrying the
+    coarse centroids and the fitted ProductQuantizer. Ref analogue:
+    OnDiskIndex persistence (disk.py:243-301) applied to the ANN stack."""
+
+    def __init__(self, codes: DataFrame, centroids: list, quantizer, path: str):
+        self.codes = codes
+        self.centroids = centroids
+        self.quantizer = quantizer
+        self.path = path
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    quantizer,
+    path: str,
+    n_centroids: int = 16,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQIndex:
+    """Build and persist the IVF-PQ index; returns the LOADED index (the
+    returned object serves from disk, not from this build's lineage).
+
+    Layout: ``codes/cent_id=<c>/...`` parquet sorted by _id within each
+    list. Storage per vector = M bytes of codes + one id — at 100 TB the
+    float vectors exist only during the build scan, never in the serving
+    layer."""
+    import json as _json
+
+    spark = emb.sparkSession
+    if centroids is None:
+        centroids = _default_centroids(emb, n_centroids, id_col, vec_col)
+    table = _ivfpq_codes_table(emb, quantizer, centroids, id_col, vec_col)
+    (
+        table.repartition("cent_id")
+        .sortWithinPartitions("_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    manifest = {
+        "format": "sparkforward-ivfpq-index",
+        "version": 1,
+        "n_centroids": len(centroids),
+        "centroids": [[int(c), [float(x) for x in v]] for c, v in centroids],
+        "quantizer": quantizer.serialize(),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    return load_ivfpq_index(spark, path)
+
+
+def load_ivfpq_index(spark: SparkSession, path: str) -> IVFPQIndex:
+    import json as _json
+
+    from sparkforward.quantize import deserialize_quantizer
+
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = _json.load(fh)
+    centroids = [(int(c), list(v)) for c, v in manifest["centroids"]]
+    quantizer = deserialize_quantizer(manifest["quantizer"])
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return IVFPQIndex(codes, centroids, quantizer, path)
+
+
+def _round_half_up6(x: float) -> float:
+    """Mirror of Spark's ``F.round(x, 6)`` (BigDecimal HALF_UP over the
+    double's shortest decimal repr) — Python's builtin ``round`` is
+    banker's and could flip a probe ordering at a .5 ulp boundary."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def driver_probe_lists(qvecs: dict, centroids: list, n_probe: int) -> list:
+    """[(q_id, cent_id), ...] — per-query probed inverted lists, computed
+    driver-side (|queries| x |centroids| work, bounded) with EXACTLY the
+    serve expression's arithmetic: float64 sequential-fold dot and norm,
+    round(1 - cos, 6) HALF_UP, ties to the lower cent_id. Driver-side so
+    the probe set becomes a STATIC ``cent_id IN (...)`` partition filter —
+    the scan touches only the probed list directories."""
+    cent_norm = {c: _seq_norm(v) for c, v in centroids}
+    out = []
+    for q_id in sorted(qvecs):
+        qv = list(qvecs[q_id])
+        qnorm = _seq_norm(qv)
+        ds = []
+        for cid, cv in centroids:
+            acc = 0.0
+            for x, y in zip(qv, cv):
+                acc += float(x) * float(y)
+            ds.append((_round_half_up6(1.0 - acc / (qnorm * cent_norm[cid])),
+                       int(cid)))
+        ds.sort()
+        out.extend((q_id, c) for _d, c in ds[: int(n_probe)])
+    return out
+
+
+def ivfpq_index_topk(
+    index: IVFPQIndex,
+    query_vectors: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    luts: list | None = None,
+) -> DataFrame:
+    """Serve top-k from a persisted :class:`IVFPQIndex`.
+
+    The 100 TB read path: probe selection and LUT construction are pure
+    driver work over the manifest's tiny centroid/codebook arrays; the
+    cluster job scans ONLY the probed ``cent_id=`` partitions of the codes
+    table (static partition pruning — no float vector is read anywhere)
+    and scores via the broadcast-LUT JVM fold."""
+    spark = index.codes.sparkSession
+    qvecs = {r["q_id"]: r["q_vector"] for r in query_vectors.collect()}
+    if luts is None:
+        luts = build_adc_luts(index.quantizer, qvecs)
+    lut_df = spark.createDataFrame(luts, "q_id string, lut array<double>")
+    probe_rows = driver_probe_lists(qvecs, index.centroids, n_probe)
+    probes = spark.createDataFrame(probe_rows, "q_id string, cent_id int")
+    probe_cids = sorted({c for _q, c in probe_rows})
+    M, Ks, _dsub = index.quantizer.codebooks.shape
+    table = index.codes.filter(F.col("cent_id").isin(probe_cids)).select(
+        "_id", F.col("cent_id").cast("int").alias("cent_id"), "codes"
+    )
+    return _adc_rank(table, probes, lut_df, M, Ks, k)
 
 
 def build_adc_luts(quantizer, qvecs: dict) -> list:

@@ -792,3 +792,56 @@ def test_ivfpq_adc_recall_and_plan(spark):
         for m in range(M):
             s += luts[r["q_id"]][m * Ks + int(codes[m])]
         assert abs(round(s, 6) - r["score"]) < 1e-9, (r, s)
+
+def test_ivfpq_persisted_roundtrip_equals_in_session(spark, tmp_path):
+    """write_ivfpq_index -> load_ivfpq_index -> ivfpq_index_topk must equal
+    the in-session ivfpq_topk serve row-for-row (persistence is
+    semantically invisible), and the driver-side probe selection must
+    match the Spark-side dist_structs probe expression exactly."""
+    from pyspark.sql import functions as F
+
+    from sparkforward import queries as q
+    from sparkforward.similarity import (
+        _centroid_dist_structs,
+        _default_centroids,
+        driver_probe_lists,
+        ivfpq_index_topk,
+        ivfpq_topk,
+        load_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    quant = q._fitted_pq(sf)
+    emb = q.load_embeddings(spark, sf)
+    qmap = spark.createDataFrame(list(q.MODE_QVEC_ID.items()), "q_id string, qvec_id long")
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    cents = _default_centroids(emb, 16, "vec_id", "embedding")
+
+    # driver probes == Spark-side probe expression
+    spark_probes = sorted(
+        (r["q_id"], r["cent_id"])
+        for r in qvecs.select(
+            "q_id",
+            F.explode(F.slice(F.transform(
+                F.array_sort(_centroid_dist_structs(cents)(F.col("q_vector"))),
+                lambda s: s["c"]), 1, 4)).alias("cent_id"),
+        ).collect()
+    )
+    qd = {r["q_id"]: list(r["q_vector"]) for r in qvecs.collect()}
+    assert sorted(driver_probe_lists(qd, cents, 4)) == spark_probes
+
+    path = str(tmp_path / "ivfpq")
+    idx = write_ivfpq_index(emb, quant, path, centroids=cents)
+    idx2 = load_ivfpq_index(spark, path)
+    # manifest round-trip
+    assert idx2.centroids == cents
+    assert (idx2.quantizer.codebooks == quant.codebooks).all()
+
+    served = sorted(map(tuple, ivfpq_index_topk(idx2, qvecs, n_probe=4, k=10).collect()))
+    in_session = sorted(map(tuple, ivfpq_topk(
+        emb, qvecs, quant, n_centroids=16, n_probe=4, k=10, centroids=cents
+    ).collect()))
+    assert served == in_session

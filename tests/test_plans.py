@@ -201,6 +201,32 @@ def test_simhash_neardup_is_pure_jvm_with_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivfpq_persisted_serve_reads_only_codes(spark):
+    """similarity_ivfpq_persisted must serve from the persisted codes
+    table alone: every FileScan in the serve plan reads the codes parquet
+    (no embedding / float-vector column anywhere), and the probe set
+    appears as a STATIC cent_id partition filter — probing 4 of 16 lists
+    scans 4 directories, the FAISS inverted-list shape on disk."""
+    from sparkforward import queries as q
+
+    # corpus-dependent entry: couple its oracle corpus to SF for this test
+    old = os.environ.get("SPARKFORWARD_ORACLE_SF")
+    os.environ["SPARKFORWARD_ORACLE_SF"] = SF
+    try:
+        plan = _plan(q.q_similarity_ivfpq_persisted(spark, SF))
+    finally:
+        if old is None:
+            os.environ.pop("SPARKFORWARD_ORACLE_SF", None)
+        else:
+            os.environ["SPARKFORWARD_ORACLE_SF"] = old
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    for ln in scans:
+        assert "embedding" not in ln, ln
+        assert "codes" in ln, ln
+    assert "PartitionFilters: [cent_id" in plan, plan[:3000]
+
+
 def test_ivf_plan_shape(spark):
     """similarity_ivf_topk must keep its scale shape: the coarse
     assignment is FUSED into a single corpus scan (a map-side projection,
