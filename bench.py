@@ -282,6 +282,12 @@ def main() -> None:
     t0 = time.perf_counter()
     repetition_stats(docs).write.format("noop").mode("overwrite").save()
     pipeline_100k["repetition_sec"] = round(time.perf_counter() - t0, 3)
+    # round-6 A/B record: the retired JVM sort+fold expression (kept as the
+    # oracle-shaped reference impl) vs the Arrow default timed above —
+    # 20.3 s vs 1.6 s at 100k docs on an idle box
+    t0 = time.perf_counter()
+    repetition_stats(docs, impl="jvm").write.format("noop").mode("overwrite").save()
+    pipeline_100k["repetition_jvm_sec"] = round(time.perf_counter() - t0, 3)
     lat_sh = []
     for _ in range(2):  # best-of-2: the 64-agg codegen compile lands on run 1
         t0 = time.perf_counter()

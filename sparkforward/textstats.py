@@ -89,18 +89,43 @@ FROM m
 """
 
 
-def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+REPETITION_SCHEMA = (
+    "doc_id long, dup_token_frac double, dup_2gram_frac double, "
+    "top_2gram_frac double"
+)
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", impl: str = "arrow"
+) -> DataFrame:
     """(doc_id, dup_token_frac, dup_2gram_frac, top_2gram_frac) — the
     Gopher-family repetition quality signals (Rae et al. 2021, §A1.1:
     documents dominated by repeated fragments are low-quality training
     data): fraction of non-distinct tokens, fraction of non-distinct
-    token 2-grams, and the share of the most frequent 2-gram. All
-    computed WITHIN the row (split/transform/array_distinct/array_sort
-    — whole-stage codegen, zero shuffle; the top-gram multiplicity is
-    the longest equal-run of the sorted gram list, an O(len log len)
-    fold); fractions round to 6 decimals with the identical float64
+    token 2-grams, and the share of the most frequent 2-gram. Everything
+    is computed WITHIN the row — zero shuffle, horizontally scalable —
+    and fractions round to 6 decimals with the identical float64
     divisions the DuckDB oracle performs.
+
+    Two executions of the same semantics (bit-identical on the webtext
+    corpus, pinned by test + a 2k-doc sweep in the round-6 A/B):
+
+    * ``impl='arrow'`` (default): one Arrow-batched kernel —
+      ``pd.factorize`` token ids, 2-grams as ``id[i]*K+id[i+1]`` codes,
+      ``np.unique(return_counts)`` for the distinct/top counts, HALF_UP
+      rounding via ``floor(x*1e6+0.5)`` (exact for the non-negative
+      fractions here). 12.4x faster than the JVM expression at 100k
+      webtext docs (1.6 s vs 20.3 s) — the per-row sort/fold constant
+      dominates the JVM plan, not Spark overhead.
+    * ``impl='jvm'``: pure whole-stage-codegen expression
+      (split/transform/array_distinct + longest equal-run fold over the
+      sorted gram array). Kept as the oracle-shaped reference semantics
+      and for clusters where Python workers are undesirable.
     """
+    if impl == "arrow":
+        return _repetition_stats_arrow(docs, text_col)
+    if impl != "jvm":
+        raise ValueError(f"impl must be 'arrow' or 'jvm', got {impl!r}")
     toks = _tokens_col(text_col)
     grams = F.when(
         F.size(toks) >= 2,
@@ -165,6 +190,55 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         frac(F.col("_ng") - F.col("_ndg"), "_ng").alias("dup_2gram_frac"),
         frac(F.col("_topg"), "_ng").alias("top_2gram_frac"),
     )
+
+
+def _repetition_stats_arrow(docs: DataFrame, text_col: str) -> DataFrame:
+    """Arrow-batched execution of :func:`repetition_stats` (see there).
+
+    Rounding note: Spark ``F.round`` is HALF_UP; for the non-negative
+    fractions produced here ``floor(x*1e6 + 0.5) / 1e6`` is the exact
+    same function, so the kernel's output bit-matches the JVM
+    expression (and therefore the DuckDB oracle) without a
+    banker's-rounding trap from Python's ``round``.
+    """
+    import re
+
+    split_re = re.compile(SPLIT_PATTERN)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        def r6(x):
+            return np.floor(np.float64(x) * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "dup_token_frac": np.zeros(n),
+                "dup_2gram_frac": np.zeros(n),
+                "top_2gram_frac": np.zeros(n),
+            }
+            for i, text in enumerate(pdf["_sfwd_text"]):
+                toks = [t for t in split_re.split((text or "").lower()) if t]
+                nt = len(toks)
+                if nt == 0:
+                    continue
+                ids = pd.factorize(np.asarray(toks, dtype=object))[0]
+                ndt = int(ids.max()) + 1
+                out["dup_token_frac"][i] = r6((nt - ndt) / nt)
+                if nt >= 2:
+                    codes = ids[:-1].astype(np.int64) * ndt + ids[1:]
+                    counts = np.unique(codes, return_counts=True)[1]
+                    ng = nt - 1
+                    out["dup_2gram_frac"][i] = r6((ng - len(counts)) / ng)
+                    out["top_2gram_frac"][i] = r6(int(counts.max()) / ng)
+            yield pd.DataFrame(out)
+
+    return docs.select(
+        "doc_id", F.col(text_col).alias("_sfwd_text")
+    ).mapInPandas(kernel, REPETITION_SCHEMA)
 
 
 REPETITION_SQL = f"""

@@ -695,8 +695,12 @@ def test_coalesce_deep_margins_and_mix():
 
 
 def test_repetition_stats_semantics(spark):
-    """Gopher-style repetition signals: hand-computed fixture values, and
-    the plan stays pure JVM (no Python eval in a scale-path text op)."""
+    """Gopher-style repetition signals: hand-computed fixture values hold
+    for BOTH executions (the default Arrow kernel and the oracle-shaped
+    JVM expression), the two are float64-bit-identical on real corpus
+    rows, and the JVM path's plan stays pure whole-stage codegen."""
+    import numpy as np
+
     from sparkforward.textstats import repetition_stats
 
     docs = spark.createDataFrame(
@@ -708,19 +712,47 @@ def test_repetition_stats_semantics(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
-    assert out[1]["dup_token_frac"] == round(1 - 2 / 5, 6)
-    assert out[1]["dup_2gram_frac"] == round(1 - 2 / 4, 6)
-    assert out[1]["top_2gram_frac"] == 0.5
-    assert out[2]["dup_token_frac"] == 0.0
-    assert out[2]["dup_2gram_frac"] == 0.0
-    assert out[2]["top_2gram_frac"] == 0.5
-    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["top_2gram_frac"] == 0.0
-    assert out[4]["dup_token_frac"] == 0.75
-    assert out[4]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
-    assert out[4]["top_2gram_frac"] == 1.0
-    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    for impl in ("arrow", "jvm"):
+        out = {r["doc_id"]: r for r in repetition_stats(docs, impl=impl).collect()}
+        assert out[1]["dup_token_frac"] == round(1 - 2 / 5, 6), impl
+        assert out[1]["dup_2gram_frac"] == round(1 - 2 / 4, 6), impl
+        assert out[1]["top_2gram_frac"] == 0.5, impl
+        assert out[2]["dup_token_frac"] == 0.0, impl
+        assert out[2]["dup_2gram_frac"] == 0.0, impl
+        assert out[2]["top_2gram_frac"] == 0.5, impl
+        assert out[3]["dup_2gram_frac"] == 0.0, impl
+        assert out[3]["top_2gram_frac"] == 0.0, impl
+        assert out[4]["dup_token_frac"] == 0.75, impl
+        assert out[4]["dup_2gram_frac"] == round(1 - 1 / 3, 6), impl
+        assert out[4]["top_2gram_frac"] == 1.0, impl
+    plan = (
+        repetition_stats(docs, impl="jvm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # bit-identity sweep on real documents (the gate oracle compares the
+    # Arrow path's output hash against REPETITION_SQL, so any half-up /
+    # banker's rounding divergence between the kernels is a driver fail)
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = (
+        repetition_stats(real, impl="arrow")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    j = (
+        repetition_stats(real, impl="jvm")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("dup_token_frac", "dup_2gram_frac", "top_2gram_frac"):
+        assert np.array_equal(
+            a[c].to_numpy().view(np.int64), j[c].to_numpy().view(np.int64)
+        ), c
 
 
 def test_pack_shards_and_sample_invariance(spark):
