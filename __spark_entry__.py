@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q.q_dedup_clusters,
         # streaming content-hash dedup (batch twin; stream parity in pytest)
         "dedup_keep_first": q.q_dedup_keep_first,
+        # substring-level exact dedup (Lee et al. 2022 ExactSubstr shape)
+        "dedup_substring": q.q_dedup_substring,
         # events / streaming analytics (batch modes of the streaming ops)
         "event_window": q.q_event_window,
         "user_sessions": q.q_user_sessions,
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": q.sql_dedup_simhash(),
         "dedup_clusters": q.sql_dedup_clusters(),
         "dedup_keep_first": q.sql_dedup_keep_first(),
+        "dedup_substring": q.sql_dedup_substring(),
         "event_window": q.sql_event_window(),
         "user_sessions": q.sql_user_sessions(),
         "token_count": q.sql_token_count(),

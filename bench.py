@@ -306,6 +306,13 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
     pipeline_100k["dedup_clusters_sec"] = round(time.perf_counter() - t0, 3)
+    # substring-level exact dedup (round 6): >= 8-token duplicated spans
+    # over the full 100k corpus — the shingle explode + dup-key semi-join
+    from sparkforward.dedup import substring_duplicate_spans
+
+    t0 = time.perf_counter()
+    substring_duplicate_spans(docs).write.format("noop").mode("overwrite").save()
+    pipeline_100k["substring_dedup_sec"] = round(time.perf_counter() - t0, 3)
 
     # End-to-end curation at 10^6 docs (judge r4 #5): the FULL keep filter
     # (quality floor + token floor + lang match + simhash near-dup ->

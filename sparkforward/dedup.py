@@ -814,3 +814,194 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+# ------------------------------------------------- substring-level dedup #
+#: Minimum duplicated run length, in tokens. Lee et al. 2022 use 50 BPE
+#: tokens at production scale; the engine default is tuned to the short
+#: synthetic fixtures and is always overridable.
+SUBSTRING_MIN_TOKENS = 8
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = SUBSTRING_MIN_TOKENS,
+    text_col: str = "text",
+    cross_doc_only: bool = False,
+) -> DataFrame:
+    """Cross-document substring-level exact dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array ExactSubstr pass, re-expressed as a Spark shuffle).
+
+    Returns one row per **maximal duplicated token span**:
+    ``(doc_id, start_tok, end_tok, span_tokens)`` with inclusive 0-based
+    token positions under the engine's canonical tokenizer. A token
+    position is *covered* iff some length-``min_tokens`` window
+    (shingle) containing it occurs at least twice in the corpus —
+    equivalently, iff it lies inside a duplicated substring of length
+    >= ``min_tokens`` (any such substring is a union of duplicated
+    shingles, and every duplicated shingle is such a substring). Spans
+    are the maximal runs of covered positions, so overlapping and
+    exactly-adjacent duplicated regions merge.
+
+    ``cross_doc_only=True`` counts a shingle as duplicated only when it
+    appears in >= 2 distinct documents (drops pure within-doc repeats).
+
+    Spark shape (no suffix array — the classic construction does not
+    distribute; this is the equi-join equivalent):
+
+    1. per-doc shingle keys ``md5(join(tokens[p:p+L]))`` via one JVM
+       ``transform`` + ``posexplode`` — O(total_tokens) rows, the
+       inherent cost of substring-level dedup;
+    2. duplicated keys by ``groupBy(key).count`` — partial (map-side)
+       aggregation, so a boilerplate shingle in 10M docs costs one
+       long-sized partial per task, not a quadratic bucket;
+    3. a left-semi equi-join marks duplicated positions (AQE
+       skew-handled);
+    4. gaps-and-islands per doc (lag + running sum + groupBy) merges
+       positions into maximal spans — windows partition by ``doc_id``,
+       bounded by document length, never corpus-sized.
+
+    md5 keys make collisions cryptographically negligible AND let the
+    DuckDB oracle reproduce the grouping exactly; a 100 TB deployment
+    could swap in ``xxhash64`` shingles (one long vs 32 hex chars of
+    shuffle width) at the cost of a ~1e-9 birthday-collision risk per
+    4B distinct shingles.
+    """
+    from pyspark.sql.window import Window
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), SPLIT_PATTERN), lambda t: t != ""
+    )
+    src = docs.select("doc_id", toks.alias("_ts")).filter(F.size("_ts") >= L)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("_ts") - L),
+        lambda p: F.md5(F.concat_ws(" ", F.slice("_ts", p + 1, L))),
+    )
+    keys = src.select(
+        "doc_id", F.posexplode(shingles).alias("_p", "_k")
+    ).select("doc_id", F.col("_p").cast("long").alias("p"), F.col("_k").alias("k"))
+    if cross_doc_only:
+        dup = (
+            keys.groupBy("k")
+            .agg(F.countDistinct("doc_id").alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+    else:
+        dup = keys.groupBy("k").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    marked = keys.join(dup.select("k"), "k", "leftsemi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    # coverage of position p is [p, p+L-1]; two duplicated positions
+    # merge iff the later one starts within (or immediately after) the
+    # earlier one's coverage: p_cur <= p_prev + L
+    brk = (
+        F.when(F.col("p") - F.lag("p").over(w) <= L, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    isl = marked.select("doc_id", "p", brk).withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("p").alias("start_tok"),
+            (F.max("p") + F.lit(L - 1)).alias("end_tok"),
+            (F.max("p") - F.min("p") + F.lit(L)).alias("span_tokens"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "span_tokens")
+    )
+
+
+def apply_span_removals(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove duplicated token spans from each document.
+
+    ``spans`` is :func:`substring_duplicate_spans` output (or any
+    ``(doc_id, start_tok, end_tok)`` interval set). Returns
+    ``(doc_id, text, n_tokens_kept, n_tokens_removed)`` where ``text``
+    is the surviving tokens rejoined with single spaces — the engine
+    dedups at its canonical token granularity, so original whitespace/
+    punctuation inside removed regions is not reconstructed (Lee et al.
+    operate on bytes; our unit is the token stream the index consumes).
+
+    Shape: spans aggregate to one interval array per doc (bounded by
+    doc length), broadcast-friendly equi-join back to the corpus, and a
+    JVM ``filter`` keeps tokens outside every interval — no Python, no
+    shuffle beyond the one groupBy.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), SPLIT_PATTERN), lambda t: t != ""
+    )
+    iv = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_iv")
+    )
+    src = docs.select("doc_id", toks.alias("_ts")).join(iv, "doc_id", "left")
+    empty_iv = F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
+    src = src.withColumn("_iv", F.coalesce(F.col("_iv"), empty_iv))
+    kept = F.filter(
+        F.transform(F.col("_ts"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_iv"),
+            lambda v: (s["i"] >= v["start_tok"]) & (s["i"] <= v["end_tok"]),
+        ),
+    )
+    return src.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("_ts") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
+def substring_oracle_sql(source: str = "documents", min_tokens: int = SUBSTRING_MIN_TOKENS) -> str:
+    """DuckDB twin of :func:`substring_duplicate_spans` (global scope) over
+    ``source`` (a table name or parenthesized subquery with doc_id, text).
+
+    Brute-force construction: every shingle position is materialized with
+    ``unnest(range(...))``, duplicated keys found by the same md5 grouping,
+    and spans by the identical gaps-and-islands (lag + running sum). All
+    output columns CAST AS BIGINT (DuckDB min/max over range() values stay
+    BIGINT, but the cast pins the typed hash either way).
+    """
+    L = int(min_tokens)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS ts
+  FROM {source} AS _sub_src
+),
+pos0 AS (
+  SELECT doc_id, ts, unnest(range(0, greatest(len(ts) - {L} + 1, 0))) AS p
+  FROM tok
+),
+pos AS (
+  SELECT doc_id, p, md5(array_to_string(ts[p+1 : p+{L}], ' ')) AS k FROM pos0
+),
+dupk AS (SELECT k FROM pos GROUP BY k HAVING count(*) >= 2),
+dp AS (SELECT doc_id, p FROM pos WHERE k IN (SELECT k FROM dupk)),
+br AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= {L}
+              THEN 0 ELSE 1 END AS brk
+  FROM dp
+),
+isl AS (
+  SELECT doc_id, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM br
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS start_tok,
+       CAST(max(p) + {L - 1} AS BIGINT) AS end_tok,
+       CAST(max(p) - min(p) + {L} AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, run_id
+"""

@@ -1537,6 +1537,76 @@ def sql_dedup_minhash_selective() -> str:
     return minhash_oracle_sql(_SELECTIVE_CORPUS_SQL)
 
 
+#: Shared passages planted for the substring-dedup fixture — P1 lands in
+#: every ``doc_id % 7 == 0`` doc (72 docs at the 500-row tables, far past
+#: the >= 3-doc bar), P2 in ``% 11 == 3``, the P1+P2 adjacency (span
+#: MERGING across two distinct passages) in ``% 17 == 2``, and a
+#: doc-unique 10-token run repeated back-to-back (WITHIN-doc duplication)
+#: in ``% 13 == 5``. Planting on top of the real document text keeps the
+#: unique filler data-derived; any natural cross-doc 8-gram repeats in the
+#: source text are legitimate duplicates both engines find identically.
+_SUBSTR_P1 = " ".join(f"p1w{j}" for j in range(10))
+_SUBSTR_P2 = " ".join(f"p2w{j}" for j in range(9))
+
+
+def _substring_corpus(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    rr = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda j: F.concat(
+                F.lit("d"), did.cast("string"), F.lit("r"), j.cast("string")
+            ),
+        ),
+    )
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit(" " + _SUBSTR_P1)).otherwise(F.lit("")),
+        F.when(did % 11 == 3, F.lit(" " + _SUBSTR_P2)).otherwise(F.lit("")),
+        F.when(did % 17 == 2, F.lit(" " + _SUBSTR_P1 + " " + _SUBSTR_P2)).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 5, F.concat(F.lit(" "), rr, F.lit(" "), rr)).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_SUBSTRING_CORPUS_SQL = f"""(
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' {_SUBSTR_P1}' ELSE '' END
+         || CASE WHEN doc_id % 11 = 3 THEN ' {_SUBSTR_P2}' ELSE '' END
+         || CASE WHEN doc_id % 17 = 2 THEN ' {_SUBSTR_P1} {_SUBSTR_P2}' ELSE '' END
+         || CASE WHEN doc_id % 13 = 5 THEN
+              ' ' || array_to_string(list_transform(range(0, 10),
+                       j -> 'd' || doc_id::VARCHAR || 'r' || j::VARCHAR), ' ')
+              || ' ' || array_to_string(list_transform(range(0, 10),
+                       j -> 'd' || doc_id::VARCHAR || 'r' || j::VARCHAR), ' ')
+            ELSE '' END AS text
+  FROM documents
+)"""
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-level exact dedup (Lee et al. 2022
+    ExactSubstr re-expressed as shingle equi-joins): maximal duplicated
+    >= 8-token spans over the planted-passage corpus."""
+    from sparkforward.dedup import substring_duplicate_spans
+
+    return substring_duplicate_spans(
+        _substring_corpus(load_documents(spark, sf_dir)), min_tokens=8
+    )
+
+
+def sql_dedup_substring() -> str:
+    from sparkforward.dedup import substring_oracle_sql
+
+    return substring_oracle_sql(_SUBSTRING_CORPUS_SQL, min_tokens=8)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.dedup import ngram_jaccard_duplicates
 

@@ -877,3 +877,111 @@ def test_ivfpq_persisted_roundtrip_equals_in_session(spark, tmp_path):
         emb, qvecs, quant, n_centroids=16, n_probe=4, k=10, centroids=cents
     ).collect()))
     assert served == in_session
+
+
+def test_substring_dedup_semantics(spark):
+    """Substring-level exact dedup (Lee et al. 2022 ExactSubstr semantics,
+    reference has no counterpart — beyond-blueprint pipeline operator):
+    hand-computed spans on a tiny corpus, within-doc vs cross-doc scope,
+    exactly-adjacent coverage merging, and removal composition."""
+    from sparkforward.dedup import apply_span_removals, substring_duplicate_spans
+
+    P = " ".join(f"s{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1a u1b u1c {P} u1d u1e"),
+            (2, f"u2a {P} u2b u2c u2d u2e u2f"),
+            (3, "w0 w1 w2 w3 w4 w5 w6 w7 x0 x1 w0 w1 w2 w3 w4 w5 w6 w7"),
+            (4, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+            (5, f"{P} z1 z2"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["start_tok"], r["end_tok"]): r["span_tokens"]
+        for r in substring_duplicate_spans(docs, min_tokens=8).collect()
+    }
+    # P covers tokens [3,12] in doc1, [1,10] in doc2, [0,9] in doc5;
+    # doc3's self-repeat yields two spans (gap 10-0 > L=8: no merge);
+    # doc4 is untouched
+    assert spans == {
+        (1, 3, 12): 10, (2, 1, 10): 10, (5, 0, 9): 10,
+        (3, 0, 7): 8, (3, 10, 17): 8,
+    }
+    # cross-doc scope drops doc3's pure within-doc repeat
+    cd = substring_duplicate_spans(docs, min_tokens=8, cross_doc_only=True)
+    assert {r["doc_id"] for r in cd.collect()} == {1, 2, 5}
+    # removal: every duplicated token goes, unique filler survives
+    clean = {
+        r["doc_id"]: r
+        for r in apply_span_removals(
+            docs, substring_duplicate_spans(docs, min_tokens=8)
+        ).collect()
+    }
+    assert clean[1]["text"] == "u1a u1b u1c u1d u1e"
+    assert clean[3]["text"] == "x0 x1" and clean[3]["n_tokens_removed"] == 16
+    assert clean[4]["n_tokens_removed"] == 0 and clean[4]["n_tokens_kept"] == 10
+    # exactly-adjacent duplicated regions merge into one span: doc6/doc7
+    # share A (tokens 0-7) and B (tokens 8-15) back to back -> one [0,15]
+    A = " ".join(f"a{j}" for j in range(8))
+    B = " ".join(f"b{j}" for j in range(8))
+    adj = spark.createDataFrame(
+        [(6, f"{A} {B}"), (7, f"{A} {B} t0 t1")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"])
+        for r in substring_duplicate_spans(adj, min_tokens=8).collect()
+    }
+    assert got == {(6, 0, 15), (7, 0, 15)}
+
+
+def test_substring_dedup_planted_fixture(spark):
+    """The gate fixture's planted passages are found at their exact
+    positions: P1 appended to a %7 doc occupies [n, n+9] for n = the
+    doc's own token count, and every such doc reports a span covering it."""
+    from pyspark.sql import functions as F
+
+    from sparkforward.dedup import substring_duplicate_spans
+    from sparkforward.queries import _substring_corpus
+    from sparkforward.tokenize import SPLIT_PATTERN
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_len = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), SPLIT_PATTERN), lambda t: t != ""
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    spans = substring_duplicate_spans(
+        _substring_corpus(docs), min_tokens=8
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append((r["start_tok"], r["end_tok"]))
+    # pure-P1 docs (in no other planted class): exactly the P1 span
+    pure_p1 = [
+        d for d in base_len
+        if d % 7 == 0 and d % 11 != 3 and d % 17 != 2 and d % 13 != 5
+    ]
+    assert len(pure_p1) >= 3
+    for d in pure_p1:
+        n = base_len[d]
+        assert any(s <= n and e >= n + 9 for s, e in by_doc.get(d, [])), d
+    # within-doc repeat docs: the doubled 10-token run at the very end is
+    # covered by one span (natural >= 8-gram repeats in the tiny-vocab
+    # source text can extend/merge spans — doc 174's whole body is
+    # duplicated text, for example — so assert coverage, not equality;
+    # exact positions are pinned by the driver hash oracle)
+    pure_rr = [
+        d for d in base_len
+        if d % 13 == 5 and d % 7 != 0 and d % 11 != 3 and d % 17 != 2
+    ]
+    assert len(pure_rr) >= 3
+    for d in pure_rr:
+        n = base_len[d]
+        assert any(s <= n and e >= n + 19 for s, e in by_doc.get(d, [])), d
