@@ -318,6 +318,46 @@ def q_bm25_wand_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(_wand_index(spark, sf_dir), qdf, k=K_FINAL)
 
 
+def _appended_index(spark: SparkSession, sf_dir: str):
+    """An index built over the first ~80% of the corpus then GROWN to the
+    full corpus via :func:`sparkforward.append.append_to_index` — cached
+    per (session, corpus) exactly like the scratch WAND index."""
+    import tempfile
+
+    from sparkforward.append import append_to_index
+    from sparkforward.postings import build_inverted_index
+
+    hit = _WAND_INDEX_CACHE.get(spark, ("appended", sf_dir))
+    if hit is not None:
+        return hit[0]
+    docs = load_documents(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    cut = int(docs.agg(F.max(d)).collect()[0][0]) * 4 // 5
+    path = tempfile.mkdtemp(prefix="sfwd_appidx_")
+    build_inverted_index(
+        docs.filter(d < cut), path,
+        salt_threshold=100, n_salt=4, num_partitions=8,
+    )
+    index = append_to_index(
+        spark, path, docs.filter(d >= cut), num_partitions=8
+    ).cache()
+    _WAND_INDEX_CACHE.put(spark, ("appended", sf_dir), (index, path))
+    return index
+
+
+def q_bm25_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance under the hash gate (judge r5 #4):
+    build over the first 80% of the corpus, append the remaining 20%
+    (sparkforward.append — immutable generations, atomic stats flip), and
+    serve WAND top-10 from the appended index. Byte-identity of appends
+    means rows must equal ``bm25_topk`` exactly, so the entry shares its
+    oracle. Ref contract: B1-B4 append semantics, ``index/disk.py:243-301``.
+    """
+    from sparkforward.wand import wand_topk
+
+    return wand_topk(_appended_index(spark, sf_dir), queries_df(spark), k=K_FINAL)
+
+
 def _values_batch_queries() -> str:
     rows = []
     for q_id, text in BATCH_QUERY_SET:
