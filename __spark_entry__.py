@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_batch_topk": q.q_bm25_wand_batch_topk,
         # incremental maintenance: build 80%, append 20%, serve (judge r5 #4)
         "bm25_appended_topk": q.q_bm25_appended_topk,
+        # LSM segment-mode maintenance: 70% + two stacked segment appends,
+        # served from the 3-segment stack (untouched rows never rewritten)
+        "bm25_segment_topk": q.q_bm25_segment_topk,
         "interpolate_from_wand": q.q_interpolate_from_wand,
         # RM3 pseudo-relevance-feedback expansion over the native first stage
         "bm25_rm3_topk": q.q_bm25_rm3_topk,
@@ -157,6 +160,9 @@ def oracle_sql() -> dict[str, str]:
         # an appended index is byte-identical to a scratch build of the
         # union corpus, so serving it must equal exhaustive BM25
         "bm25_appended_topk": q.sql_bm25_topk(),
+        # segment-stack serving is exact (scores recompute from raw tf/dl;
+        # ratio-adjusted stale bounds only prune) — same oracle
+        "bm25_segment_topk": q.sql_bm25_topk(),
         # WAND top-100 is rank-identical to BM25 top-100, so the composed
         # pipeline shares the exhaustive interpolation oracle
         "interpolate_from_wand": q.sql_interpolate_rerank(),

@@ -1,46 +1,60 @@
 """Incremental index maintenance: append a delta corpus to a committed
-posting index WITHOUT a full rebuild — and come out byte-identical to a
-from-scratch build of the union corpus.
+posting index WITHOUT a full rebuild.
 
 The reference appends to its vector store in place (``index/disk.py:243-301``
 resizes h5py datasets under a single process) and enforces the B1/B2 append
 contract (validated input, duplicate-id rejection). A distributed posting
-index can't mutate in place — instead each append writes a new immutable
-**generation** under ``<index>/gen-N`` and flips ``stats.json``'s
-``data_dir`` pointer atomically (tmp + rename). Readers see the old complete
-generation or the new one, never a mix; a crash mid-append leaves the base
-index untouched and the next append wipes the orphaned generation and
-redoes the work.
+index can't mutate in place — instead each append writes new immutable data
+under ``<index>/gen-N`` and flips ``stats.json`` atomically (tmp + rename).
+Readers see the old complete state or the new one, never a mix; a crash
+mid-append leaves the base index untouched and the next append wipes the
+orphaned generation and redoes the work.
 
-Byte-identity with a from-scratch union build (verified by the DuckDB
-signature in tools/soak_append.py) pins three subtleties:
+Two append modes trade write amplification against read fan-in:
 
-* **avgdl moves** with the union corpus, and every block's ``max_z/min_z``
-  bakes avgdl in — so even untouched terms need their metadata refreshed.
-  Their blobs and block boundaries are avgdl-free, so the refresh is a
-  MAP-ONLY pass (decode tf/dl, recompute z extrema): no tokenize, no
-  shuffle, sequential columnar I/O. The exact integer token total
-  (``stats.sum_dl``) is persisted at build time so the union avgdl
-  reproduces the builder's float64 division bit-for-bit.
-* **Touched terms re-merge through the identical kernel**: a final block
-  row's blobs ARE the partial-row format (absolute first doc, plain deltas
-  after), so base blocks of delta-touched terms feed straight back through
-  :func:`postings.salt_partials` + :func:`postings.merge_salted` together
-  with the delta's stage-1 partials. Salting re-derives from the UNION df
-  (:func:`postings.head_map` is a pure function of (df, config)), so a term
-  that crosses the salt threshold — or needs a larger power-of-two modulus —
-  re-shards exactly as a scratch build would.
-* **Append is id-monotone** (new doc ids strictly above the base max),
-  mirroring the reference's append-only contract; a colliding id would
-  corrupt posting order and is rejected up front (B2 analog).
+* ``mode="rewrite"`` (default): the new generation holds the COMPLETE union
+  index and is byte-identical to a from-scratch build of the union corpus
+  (verified by the DuckDB signature in tools/soak_append.py). Byte-identity
+  pins three subtleties:
+
+  - **avgdl moves** with the union corpus, and every block's
+    ``max_z/min_z`` bakes avgdl in — so even untouched terms need their
+    metadata refreshed. Their blobs and block boundaries are avgdl-free, so
+    the refresh is a MAP-ONLY pass (decode tf/dl, recompute z extrema): no
+    tokenize, no shuffle, sequential columnar I/O. The exact integer token
+    total (``stats.sum_dl``) is persisted at build time so the union avgdl
+    reproduces the builder's float64 division bit-for-bit.
+  - **Touched terms re-merge through the identical kernel**: a final block
+    row's blobs ARE the partial-row format (absolute first doc, plain
+    deltas after), so base blocks of delta-touched terms feed straight back
+    through :func:`postings.salt_partials` + :func:`postings.merge_salted`
+    together with the delta's stage-1 partials. Salting re-derives from the
+    UNION df, so a term that crosses the salt threshold — or needs a larger
+    power-of-two modulus — re-shards exactly as a scratch build would.
+  - **Append is id-monotone** (new doc ids strictly above the base max),
+    mirroring the reference's append-only contract; a colliding id would
+    corrupt posting order and is rejected up front (B2 analog).
+
+* ``mode="segment"``: the 100-TB fast path — untouched base rows are **not
+  rewritten at all**. The new generation holds ONLY the delta-touched
+  terms' re-merged rows; a term-tombstone list hides those terms' stale
+  rows in older segments, and :func:`postings.compose_segment_postings`
+  stacks the segments at load time, inflating stale segments' ``max_z`` /
+  deflating ``min_z`` by the avgdl-ratio bound (sound pruning; serving is
+  EXACT because final scores always recompute from raw tf/dl under the
+  current avgdl). :func:`compact_index` folds the stack back into one
+  generation that is byte-identical to a scratch union build — block
+  boundaries are avgdl-free and each visible row was produced by the exact
+  merge kernel at SOME append, so compaction is a map-only metadata refresh
+  plus a rewrite.
 
 Scale notes (100 TB): the delta pays tokenize + shuffle only for ITS OWN
-postings; the base pays one embarrassingly-parallel metadata rewrite and a
-re-merge bounded by the delta's vocabulary. Appends should be batched so
-that rewrite amortizes; the next step beyond this (kept out of scope here)
-is a multi-segment LSM layout where untouched rows are not rewritten at all
-and stale bounds are inflated by ``max(1, avgdl_new/avgdl_old)`` at serve
-time — sound because final scores are always recomputed from raw tf/dl.
+postings. In rewrite mode the base additionally pays one
+embarrassingly-parallel metadata rewrite (every byte rewritten once per
+append — amortize by batching appends); in segment mode it pays NOTHING
+per append beyond the touched-term re-merge, at the cost of one extra
+parquet scan branch per segment at serve time — compact on a cadence
+(``max_segments``) exactly like an LSM store.
 """
 
 from __future__ import annotations
@@ -64,6 +78,7 @@ from sparkforward.postings import (
     PostingIndex,
     _build_partials,
     attach_term_meta,
+    compose_segment_postings,
     head_map,
     index_data_root,
     merge_salted,
@@ -105,6 +120,73 @@ def _refresh_block_meta(avgdl: float):
     return refresh
 
 
+def _referenced_dirs(stats: dict) -> set[str]:
+    """gen-N dir names the committed ``stats`` still points at."""
+    refs = set()
+    if stats.get("data_dir"):
+        refs.add(stats["data_dir"])
+    for seg in stats.get("segments") or []:
+        if seg["dir"]:
+            refs.add(seg["dir"])
+    return refs
+
+
+def _root_in_use(stats: dict) -> bool:
+    """True when postings live at the index root (pre-append layout or the
+    base segment of a stack that started there)."""
+    if not stats.get("data_dir"):
+        return True
+    return any(not seg["dir"] for seg in stats.get("segments") or [])
+
+
+def _next_gen(stats: dict) -> int:
+    nums = [int(d.split("-", 1)[1]) for d in _referenced_dirs(stats)]
+    return 1 + max(nums, default=0)
+
+
+def _visible_base(spark: SparkSession, path: str, stats: dict) -> DataFrame:
+    """The committed index's visible posting rows, raw metadata (the
+    appender drops or recomputes bounds, so no ratio adjustment)."""
+    if stats.get("segments"):
+        df = compose_segment_postings(spark, path, stats, adjust_bounds=False)
+    else:
+        root = index_data_root(path, stats)
+        df = spark.read.parquet(os.path.join(root, "postings"))
+    return df.drop("bucket")
+
+
+def _write_postings(rows: DataFrame, gen_dir: str, n_buckets: int) -> None:
+    (
+        rows.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "salt", "block_no")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(gen_dir, "postings"))
+    )
+
+
+def _flip_stats(path: str, new_stats: dict) -> None:
+    """THE COMMIT POINT: everything written before this rename is invisible."""
+    tmp = os.path.join(path, ".stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_stats, fh)
+    os.replace(tmp, os.path.join(path, "stats.json"))
+
+
+def _drop_superseded(path: str, old_stats: dict, keep: str) -> None:
+    """Remove data dirs the new commit no longer references — runs only
+    AFTER the stats flip, so a crash here costs disk, never correctness."""
+    for d in _referenced_dirs(old_stats):
+        if d != keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    if _root_in_use(old_stats):
+        shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "terms"), ignore_errors=True)
+
+
 def append_to_index(
     spark: SparkSession,
     path: str,
@@ -112,13 +194,22 @@ def append_to_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    mode: str = "rewrite",
+    max_segments: int | None = None,
 ) -> PostingIndex:
     """Append ``docs`` to the committed index at ``path``; return the
     reloaded index. Build configuration (block size, salting, bucket
     modulus) is pinned from the base ``stats.json`` — an append must shard
     and bucket exactly like the original build or resume/serve invariants
     break (cf. the n_buckets resume pin in postings.merge_partials).
+
+    ``mode="rewrite"`` produces a single generation byte-identical to a
+    scratch union build; ``mode="segment"`` stacks an LSM segment holding
+    only the touched terms (see module docstring). ``max_segments`` (segment
+    mode) auto-compacts once the stack exceeds that many segments.
     """
+    if mode not in ("rewrite", "segment"):
+        raise ValueError(f"append_to_index: unknown mode {mode!r}")
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
     if stats.get("layout") != "block":
@@ -132,17 +223,18 @@ def append_to_index(
             "(stats.sum_dl, written by round-6+ builds); rebuild the base "
             "index once — n_docs*avgdl cannot recover it exactly"
         )
-    root = index_data_root(path, stats)
-    cur_gen = stats.get("data_dir")
+    referenced = _referenced_dirs(stats)
 
     # wipe orphaned generations from a crashed append: stats.json never
     # pointed at them, so the base index is intact and they are garbage
     for d in glob.glob(os.path.join(path, "gen-*")):
-        if os.path.basename(d) != cur_gen:
+        if os.path.basename(d) not in referenced:
             shutil.rmtree(d, ignore_errors=True)
 
-    base_post = spark.read.parquet(os.path.join(root, "postings")).drop("bucket")
-    base_terms = spark.read.parquet(os.path.join(root, "terms"))
+    base_post = _visible_base(spark, path, stats)
+    base_terms = spark.read.parquet(
+        os.path.join(index_data_root(path, stats), "terms")
+    )
 
     raw_partials = _build_partials(docs, id_col, text_col).persist()
     try:
@@ -201,7 +293,6 @@ def append_to_index(
         # touched/untouched split broadcasts it instead of shuffling the base
         touched_terms = F.broadcast(delta_df.select("term"))
         touched_base = base_post.join(touched_terms, "term", "left_semi")
-        untouched = base_post.join(touched_terms, "term", "left_anti")
 
         # a block row's (n, blobs) is a valid partial row — reuse the exact
         # build machinery on base blocks + delta partials of touched terms
@@ -216,24 +307,24 @@ def append_to_index(
         touched_rows = merge_salted(
             salted, head, avgdl, int(stats["block_size"])
         )
-        refreshed = untouched.select(*_BLOCK_COLS).mapInPandas(
-            _refresh_block_meta(avgdl), schema=BLOCK_POSTING_SCHEMA
-        )
-        all_rows = touched_rows.unionByName(refreshed)
 
-        gen_no = 1 + (int(cur_gen.split("-", 1)[1]) if cur_gen else 0)
+        gen_no = _next_gen(stats)
         gen_dir = os.path.join(path, f"gen-{gen_no}")
         n_buckets = int(stats["n_buckets"])
-        (
-            all_rows.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+
+        if mode == "rewrite":
+            untouched = base_post.join(touched_terms, "term", "left_anti")
+            refreshed = untouched.select(*_BLOCK_COLS).mapInPandas(
+                _refresh_block_meta(avgdl), schema=BLOCK_POSTING_SCHEMA
             )
-            .repartition(n_buckets, "bucket")
-            .sortWithinPartitions("term", "salt", "block_no")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(gen_dir, "postings"))
-        )
+            _write_postings(touched_rows.unionByName(refreshed), gen_dir, n_buckets)
+        else:
+            _write_postings(touched_rows, gen_dir, n_buckets)
+            # term tombstones: hide the touched terms' stale rows in every
+            # older segment (bounded by the delta's vocabulary)
+            delta_df.select("term").write.mode("overwrite").parquet(
+                os.path.join(gen_dir, "tombstones")
+            )
         attach_term_meta(df_union, float(n_union), head).write.mode(
             "overwrite"
         ).parquet(os.path.join(gen_dir, "terms"))
@@ -244,7 +335,8 @@ def append_to_index(
             json.dump(
                 {
                     "generation": gen_no,
-                    "base_data_dir": cur_gen,
+                    "mode": mode,
+                    "base_data_dir": stats.get("data_dir"),
                     "delta_docs": n_delta,
                     "delta_sum_dl": sum_dl_delta,
                     "n_docs": float(n_union),
@@ -253,7 +345,6 @@ def append_to_index(
                 fh,
             )
 
-        # THE COMMIT POINT: everything above is invisible until this rename
         new_stats = {
             **stats,
             "n_docs": float(n_union),
@@ -261,20 +352,77 @@ def append_to_index(
             "sum_dl": sum_dl_union,
             "data_dir": f"gen-{gen_no}",
         }
-        tmp = os.path.join(path, ".stats.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(new_stats, fh)
-        os.replace(tmp, os.path.join(path, "stats.json"))
+        if mode == "segment":
+            segs = stats.get("segments") or [
+                # first segment append: the committed base becomes segment 0
+                {
+                    "dir": stats.get("data_dir") or "",
+                    "avgdl": float(stats["avgdl"]),
+                    "tombstones": None,
+                }
+            ]
+            new_stats["segments"] = segs + [
+                {
+                    "dir": f"gen-{gen_no}",
+                    "avgdl": avgdl,
+                    "tombstones": f"gen-{gen_no}/tombstones",
+                }
+            ]
+        else:
+            new_stats.pop("segments", None)
+        _flip_stats(path, new_stats)
     finally:
         raw_partials.unpersist()
 
-    # the superseded generation's data is now unreferenced; keep exactly one
-    # committed generation on disk (the new one) — old root dirs under the
-    # index path are removed only AFTER the commit point, so a crash here
-    # costs disk, never correctness
-    if cur_gen:
-        shutil.rmtree(os.path.join(path, cur_gen), ignore_errors=True)
-    else:
-        shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
-        shutil.rmtree(os.path.join(path, "terms"), ignore_errors=True)
+    if mode == "rewrite":
+        # the superseded data is now unreferenced; keep exactly one
+        # committed generation on disk (the new one)
+        _drop_superseded(path, stats, keep=f"gen-{gen_no}")
+    elif max_segments is not None and len(new_stats["segments"]) > max_segments:
+        return compact_index(spark, path)
+    return PostingIndex.load(spark, path)
+
+
+def compact_index(spark: SparkSession, path: str) -> PostingIndex:
+    """Fold an LSM segment stack back into a single generation —
+    byte-identical to a from-scratch build of the same corpus.
+
+    Block boundaries and blobs are avgdl-free and every visible row was
+    produced by the exact merge kernel at some append, so compaction is a
+    MAP-ONLY metadata refresh (recompute max_z/min_z under the current
+    avgdl — bit-identical to what a scratch build computes for the same
+    blocks) plus one bucketed rewrite. No tokenize, no merge shuffle.
+    """
+    with open(os.path.join(path, "stats.json")) as fh:
+        stats = json.load(fh)
+    if not stats.get("segments"):
+        return PostingIndex.load(spark, path)
+
+    visible = compose_segment_postings(
+        spark, path, stats, adjust_bounds=False
+    ).drop("bucket")
+    refreshed = visible.select(*_BLOCK_COLS).mapInPandas(
+        _refresh_block_meta(float(stats["avgdl"])), schema=BLOCK_POSTING_SCHEMA
+    )
+    gen_no = _next_gen(stats)
+    gen_dir = os.path.join(path, f"gen-{gen_no}")
+    _write_postings(refreshed, gen_dir, int(stats["n_buckets"]))
+    spark.read.parquet(
+        os.path.join(index_data_root(path, stats), "terms")
+    ).write.mode("overwrite").parquet(os.path.join(gen_dir, "terms"))
+    with open(os.path.join(gen_dir, "manifest.json"), "w") as fh:
+        json.dump(
+            {
+                "generation": gen_no,
+                "mode": "compact",
+                "compacted_from": [s["dir"] for s in stats["segments"]],
+                "n_docs": float(stats["n_docs"]),
+                "avgdl": float(stats["avgdl"]),
+            },
+            fh,
+        )
+    new_stats = {**stats, "data_dir": f"gen-{gen_no}"}
+    new_stats.pop("segments")
+    _flip_stats(path, new_stats)
+    _drop_superseded(path, stats, keep=f"gen-{gen_no}")
     return PostingIndex.load(spark, path)

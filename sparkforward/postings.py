@@ -337,6 +337,53 @@ def decode_blocked_posting_list(
     return d, varbyte_decode(bytes(row["tf_blob"])), varbyte_decode(bytes(row["dl_blob"]))
 
 
+def compose_segment_postings(
+    spark: SparkSession, path: str, stats: dict, adjust_bounds: bool = True
+) -> DataFrame:
+    """Visible postings of an LSM segment stack (append.py mode="segment").
+
+    The visible set is the union over segments, where a term re-merged by a
+    NEWER segment tombstones its rows in every older one. Stale segments'
+    block bounds were computed under THEIR avgdl; the current avgdl can move
+    true z by at most the ratio avgdl_cur/avgdl_seg (monotone denominator
+    bound: z = tf*(k1+1)/(tf + k1*(1-b) + k1*b*dl/avgdl), and for r =
+    a_cur/a_seg >= 1 the denominator shrinks by at most r, so z grows by at
+    most r — symmetrically for r < 1), so ``max_z`` inflates by max(1, r)
+    and ``min_z`` deflates by min(1, r) — sound pruning in every consumer
+    (block-max skip, theta0 anchoring, byte planning), and final scores are
+    always recomputed from raw tf/dl under the CURRENT avgdl
+    (wand.py serve kernels), so serving stays EXACT. The adjustment is
+    baked into the composed DataFrame, keeping every downstream consumer
+    (serve planner, metadata aggregates, kernels) segment-oblivious.
+
+    ``adjust_bounds=False`` yields the raw stored rows — for the appender
+    and compactor, which drop or recompute the metadata anyway.
+    """
+    cur = float(stats["avgdl"])
+    parts = []
+    tomb: DataFrame | None = None
+    for seg in reversed(stats["segments"]):  # newest first: accum tombstones
+        d = os.path.join(path, seg["dir"]) if seg["dir"] else path
+        df = spark.read.parquet(os.path.join(d, "postings"))
+        if tomb is not None:
+            # tombstone vocabulary is bounded by the deltas' vocabularies
+            df = df.join(F.broadcast(tomb), "term", "left_anti")
+        ratio = cur / float(seg["avgdl"])
+        if adjust_bounds and ratio != 1.0:
+            df = df.withColumn(
+                "max_z", F.col("max_z") * F.lit(max(1.0, ratio))
+            ).withColumn("min_z", F.col("min_z") * F.lit(min(1.0, ratio)))
+        parts.append(df)
+        t = seg.get("tombstones")
+        if t:
+            tdf = spark.read.parquet(os.path.join(path, t)).select("term")
+            tomb = tdf if tomb is None else tomb.unionByName(tdf)
+    postings = parts[0]
+    for df in parts[1:]:
+        postings = postings.unionByName(df)
+    return postings
+
+
 def index_data_root(path: str, stats: dict | None = None) -> str:
     """Directory holding the CURRENT committed postings/ + terms/ data.
 
@@ -508,13 +555,19 @@ class PostingIndex:
     def load(cls, spark: SparkSession, path: str) -> "PostingIndex":
         with open(os.path.join(path, "stats.json")) as fh:
             stats = json.load(fh)
-        root = index_data_root(path, stats)
-        return cls(
-            spark.read.parquet(os.path.join(root, "postings")),
-            spark.read.parquet(os.path.join(root, "terms")),
-            stats,
-            path=path,
+        if not stats.get("segments"):
+            root = index_data_root(path, stats)
+            return cls(
+                spark.read.parquet(os.path.join(root, "postings")),
+                spark.read.parquet(os.path.join(root, "terms")),
+                stats,
+                path=path,
+            )
+        terms = spark.read.parquet(
+            os.path.join(path, stats["data_dir"], "terms")
         )
+        postings = compose_segment_postings(spark, path, stats)
+        return cls(postings, terms, stats, path=path)
 
     def cache(self) -> "PostingIndex":
         """Pin postings + term stats in executor memory for serving."""

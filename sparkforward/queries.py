@@ -345,6 +345,53 @@ def _appended_index(spark: SparkSession, sf_dir: str):
     return index
 
 
+def _segmented_index(spark: SparkSession, sf_dir: str):
+    """An index grown to the full corpus by TWO stacked LSM segment appends
+    (70% -> 85% -> 100%): head terms are touched by both deltas, so the
+    second append re-merges rows the first one produced, and serving reads
+    a 3-deep segment stack with ratio-adjusted stale bounds."""
+    import tempfile
+
+    from sparkforward.append import append_to_index
+    from sparkforward.postings import build_inverted_index
+
+    hit = _WAND_INDEX_CACHE.get(spark, ("segmented", sf_dir))
+    if hit is not None:
+        return hit[0]
+    docs = load_documents(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    hi = int(docs.agg(F.max(d)).collect()[0][0])
+    c1, c2 = hi * 7 // 10, hi * 17 // 20
+    path = tempfile.mkdtemp(prefix="sfwd_segidx_")
+    build_inverted_index(
+        docs.filter(d < c1), path,
+        salt_threshold=100, n_salt=4, num_partitions=8,
+    )
+    append_to_index(
+        spark, path, docs.filter((d >= c1) & (d < c2)),
+        num_partitions=8, mode="segment",
+    )
+    index = append_to_index(
+        spark, path, docs.filter(d >= c2), num_partitions=8, mode="segment"
+    ).cache()
+    _WAND_INDEX_CACHE.put(spark, ("segmented", sf_dir), (index, path))
+    return index
+
+
+def q_bm25_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM segment-mode incremental maintenance under the hash gate: build
+    70% of the corpus, stack two segment appends (sparkforward.append
+    mode="segment" — untouched base rows never rewritten; term tombstones +
+    avgdl-ratio-adjusted stale bounds at load), and serve WAND top-10 from
+    the 3-segment stack. Serving a segment stack is EXACT (scores recompute
+    from raw tf/dl under the current avgdl; adjusted bounds only prune),
+    so rows must equal ``bm25_topk`` and the entry shares its oracle.
+    """
+    from sparkforward.wand import wand_topk
+
+    return wand_topk(_segmented_index(spark, sf_dir), queries_df(spark), k=K_FINAL)
+
+
 def q_bm25_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance under the hash gate (judge r5 #4):
     build over the first 80% of the corpus, append the remaining 20%

@@ -16,7 +16,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from sparkforward.append import append_to_index
+from sparkforward.append import append_to_index, compact_index
 from sparkforward.postings import PostingIndex, build_inverted_index, index_data_root
 from sparkforward.wand import wand_topk
 from tools.soak_append import index_signature
@@ -43,10 +43,10 @@ def _build(docs, path):
     return build_inverted_index(docs, str(path), **CFG)
 
 
-def _serve(spark, index, k=10):
+def _serve(spark, index, k=10, **kw):
     qdf = spark.createDataFrame(QUERIES, "q_id string, query string")
     return (
-        wand_topk(index, qdf, k=k)
+        wand_topk(index, qdf, k=k, **kw)
         .toPandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)
@@ -127,6 +127,107 @@ def test_append_empty_delta_is_noop(spark, docs, tmp_path):
     before = index_signature(str(tmp_path / "a"))
     append_to_index(spark, str(tmp_path / "a"), docs.filter(F.col("doc_id") < 0))
     assert index_signature(str(tmp_path / "a")) == before
+
+
+def test_segment_append_serves_like_scratch(spark, docs, tmp_path):
+    """LSM segment mode: untouched base rows stay on disk unrewritten; the
+    composed stack serves EXACTLY like a scratch union build (stale block
+    bounds are ratio-adjusted at load — sound pruning, exact scores)."""
+    base = docs.filter(F.col("doc_id") < 400)
+    _build(base, tmp_path / "a")
+    base_files = sorted(
+        p.name for p in (tmp_path / "a" / "postings").rglob("*.parquet")
+    )
+    idx = append_to_index(
+        spark, str(tmp_path / "a"), docs.filter(F.col("doc_id") >= 400),
+        num_partitions=4, mode="segment",
+    )
+    scratch = _build(docs, tmp_path / "b")
+
+    # base data untouched on disk — the whole point of segment mode
+    assert sorted(
+        p.name for p in (tmp_path / "a" / "postings").rglob("*.parquet")
+    ) == base_files
+    with open(tmp_path / "a" / "stats.json") as fh:
+        st = json.load(fh)
+    assert len(st["segments"]) == 2 and st["data_dir"] == "gen-1"
+
+    # default dispatch AND forced-WAND (pruning path under adjusted stale
+    # bounds) both == scratch
+    assert _serve(spark, idx).equals(_serve(spark, scratch))
+    assert _serve(spark, idx, taat_max_postings=0).equals(
+        _serve(spark, scratch, taat_max_postings=0)
+    )
+
+
+def test_segment_append_twice_then_compact_matches_scratch(spark, docs, tmp_path):
+    """Two stacked segments (head terms touched twice — the second append
+    re-merges rows the FIRST append produced) serve like scratch, and
+    compaction folds the stack into a generation byte-identical to a
+    scratch union build."""
+    _build(docs.filter(F.col("doc_id") < 300), tmp_path / "a")
+    append_to_index(
+        spark, str(tmp_path / "a"),
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 420)),
+        num_partitions=4, mode="segment",
+    )
+    idx = append_to_index(
+        spark, str(tmp_path / "a"), docs.filter(F.col("doc_id") >= 420),
+        num_partitions=4, mode="segment",
+    )
+    scratch = _build(docs, tmp_path / "b")
+    assert _serve(spark, idx).equals(_serve(spark, scratch))
+
+    compact_index(spark, str(tmp_path / "a"))
+    assert index_signature(str(tmp_path / "a")) == index_signature(str(tmp_path / "b"))
+    with open(tmp_path / "a" / "stats.json") as fh:
+        st = json.load(fh)
+    assert "segments" not in st and st["data_dir"] == "gen-3"
+    # superseded segment data is gone; exactly one generation remains
+    assert not (tmp_path / "a" / "gen-1").exists()
+    assert not (tmp_path / "a" / "gen-2").exists()
+    assert not (tmp_path / "a" / "postings").exists()
+
+
+def test_segment_auto_compaction(spark, docs, tmp_path):
+    """max_segments folds the stack once it grows past the cadence."""
+    _build(docs.filter(F.col("doc_id") < 300), tmp_path / "a")
+    append_to_index(
+        spark, str(tmp_path / "a"),
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 420)),
+        num_partitions=4, mode="segment", max_segments=2,
+    )
+    with open(tmp_path / "a" / "stats.json") as fh:
+        assert len(json.load(fh)["segments"]) == 2  # under cadence: kept
+    append_to_index(
+        spark, str(tmp_path / "a"), docs.filter(F.col("doc_id") >= 420),
+        num_partitions=4, mode="segment", max_segments=2,
+    )
+    with open(tmp_path / "a" / "stats.json") as fh:
+        assert "segments" not in json.load(fh)  # compacted
+    _build(docs, tmp_path / "b")
+    assert index_signature(str(tmp_path / "a")) == index_signature(str(tmp_path / "b"))
+
+
+def test_rewrite_append_on_segmented_base(spark, docs, tmp_path):
+    """A rewrite-mode append composes a segmented base and lands a single
+    byte-identical generation (doubles as compaction-with-delta)."""
+    _build(docs.filter(F.col("doc_id") < 300), tmp_path / "a")
+    append_to_index(
+        spark, str(tmp_path / "a"),
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 420)),
+        num_partitions=4, mode="segment",
+    )
+    append_to_index(
+        spark, str(tmp_path / "a"), docs.filter(F.col("doc_id") >= 420),
+        num_partitions=4, mode="rewrite",
+    )
+    _build(docs, tmp_path / "b")
+    assert index_signature(str(tmp_path / "a")) == index_signature(str(tmp_path / "b"))
+    with open(tmp_path / "a" / "stats.json") as fh:
+        assert "segments" not in json.load(fh)
+    assert not (tmp_path / "a" / "gen-1").exists()
+    assert not (tmp_path / "a" / "postings").exists()
 
 
 def test_orphaned_generation_is_wiped_and_retry_succeeds(spark, docs, tmp_path):
