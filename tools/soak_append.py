@@ -24,6 +24,7 @@ import argparse
 import glob
 import json
 import os
+import shutil
 import signal
 import subprocess
 import sys
@@ -121,7 +122,17 @@ def _worker_append(args) -> None:
     append_to_index(
         spark, args.path, spark.read.parquet(args.corpus),
         num_partitions=args.cores * 2,
+        mode="segment" if args.worker == "append_segment" else "rewrite",
     )
+    spark.stop()
+
+
+def _worker_compact(args) -> None:
+    from sparkforward.append import compact_index
+    from sparkforward.session import get_spark
+
+    spark = get_spark(app_name="append-soak-compact", cores=args.cores)
+    compact_index(spark, args.path)
     spark.stop()
 
 
@@ -155,6 +166,9 @@ def run_append_soak(
     if p.returncode != 0:
         raise RuntimeError("base build failed")
     base_sig = index_signature(path_a)
+    # pristine copy of the committed base for the LSM segment-mode leg
+    path_b0 = os.path.join(work, "idx_base_copy")
+    shutil.copytree(path_a, path_b0)
 
     t0 = time.time()
     p = _spawn("build", corpus + "_union", path_r, n_docs, 0, cores)
@@ -177,7 +191,12 @@ def run_append_soak(
             break
         time.sleep(0.05)
     proc.wait()
-    base_intact = index_signature(path_a) == base_sig
+    base_intact = (not kill_hit) or index_signature(path_a) == base_sig
+    if not kill_hit:
+        # victim completed before the kill window: reset from the pristine
+        # base so the timed retry is a clean single append
+        shutil.rmtree(path_a, ignore_errors=True)
+        shutil.copytree(path_b0, path_a)
 
     # retry to completion (timed)
     t0 = time.time()
@@ -188,7 +207,41 @@ def run_append_soak(
         p.returncode == 0 and index_signature(path_a) == ref_sig
     )
 
-    import shutil
+    # ----- LSM segment-mode leg: kill mid-append (base intact), retry,
+    # then compact and require byte-identity with the union rebuild -----
+    path_s = os.path.join(work, "idx_segmented")
+    shutil.copytree(path_b0, path_s)
+    proc = _spawn("append_segment", corpus + "_delta", path_s, n_docs, n_delta, cores)
+    seg_kill_hit = False
+    seg_tmp_glob = os.path.join(path_s, "gen-*", "postings", "_temporary", "*", "*")
+    while proc.poll() is None:
+        if glob.glob(seg_tmp_glob):
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                seg_kill_hit = True
+            break
+        time.sleep(0.05)
+    proc.wait()
+    seg_base_intact = (not seg_kill_hit) or index_signature(path_s) == base_sig
+    if not seg_kill_hit:
+        # victim completed before the kill window: reset from the pristine
+        # base so the timed retry is a clean single append
+        shutil.rmtree(path_s, ignore_errors=True)
+        shutil.copytree(path_b0, path_s)
+
+    t0 = time.time()
+    p = _spawn("append_segment", corpus + "_delta", path_s, n_docs, n_delta, cores)
+    p.wait()
+    segment_append_sec = time.time() - t0
+    seg_ok = p.returncode == 0
+
+    t0 = time.time()
+    p = _spawn("compact", "", path_s, n_docs, n_delta, cores)
+    p.wait()
+    compact_sec = time.time() - t0
+    segment_identical = (
+        seg_ok and p.returncode == 0 and index_signature(path_s) == ref_sig
+    )
 
     shutil.rmtree(work, ignore_errors=True)
     return {
@@ -202,6 +255,12 @@ def run_append_soak(
         "rebuild_union_sec": round(rebuild_sec, 2),
         "append_sec": round(append_sec, 2),
         "append_vs_rebuild": round(append_sec / rebuild_sec, 3),
+        "segment_kill_hit": seg_kill_hit,
+        "segment_base_intact_after_kill": seg_base_intact,
+        "segment_compacted_identical_to_rebuild": segment_identical,
+        "segment_append_sec": round(segment_append_sec, 2),
+        "compact_sec": round(compact_sec, 2),
+        "segment_append_vs_rewrite": round(segment_append_sec / append_sec, 3),
     }
 
 
@@ -210,7 +269,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--delta", type=int, default=100_000)
     ap.add_argument("--cores", type=int, default=16)
-    ap.add_argument("--worker", choices=["corpus", "build", "append"])
+    ap.add_argument(
+        "--worker", choices=["corpus", "build", "append", "append_segment", "compact"]
+    )
     ap.add_argument("--corpus")
     ap.add_argument("--path")
     args = ap.parse_args()
@@ -220,14 +281,19 @@ def main() -> None:
     if args.worker == "build":
         _worker_build(args)
         return
-    if args.worker == "append":
+    if args.worker in ("append", "append_segment"):
         _worker_append(args)
+        return
+    if args.worker == "compact":
+        _worker_compact(args)
         return
     result = run_append_soak(args.docs, args.delta, args.cores)
     print(json.dumps(result))
     if not (
         result["base_intact_after_kill"]
         and result["appended_identical_to_rebuild"]
+        and result["segment_base_intact_after_kill"]
+        and result["segment_compacted_identical_to_rebuild"]
     ):
         sys.exit(1)
 
