@@ -55,6 +55,15 @@ append — amortize by batching appends); in segment mode it pays NOTHING
 per append beyond the touched-term re-merge, at the cost of one extra
 parquet scan branch per segment at serve time — compact on a cadence
 (``max_segments``) exactly like an LSM store.
+
+Honest caveat: tombstoning is TERM-granular, and under a Zipfian
+vocabulary nearly every delta touches the head terms that hold most of
+the index's bytes — so segment mode's write savings over rewrite mode is
+mostly the untouched-TAIL re-merge plus the whole untouched metadata
+refresh, not the head bytes. The further step (kept out of scope) is
+Lucene-style per-segment posting lists for ALL terms with cursor-level
+merge across segments at serve time — zero re-merge on append, but it
+needs cross-segment block numbering and a pinned salt layout.
 """
 
 from __future__ import annotations
