@@ -230,6 +230,69 @@ def test_rewrite_append_on_segmented_base(spark, docs, tmp_path):
     assert not (tmp_path / "a" / "postings").exists()
 
 
+def test_segment_stack_serve_fuzz_equals_exhaustive(spark, tmp_path):
+    """Seeded end-to-end fuzz over a 3-deep segment stack: random corpora
+    split at random id cuts, with deltas of very different doc lengths so
+    the union avgdl swings BOTH ways across appends (stale segments' bound
+    adjustment gets exercised in both the inflate and deflate direction).
+    Serving the stack — at every planner budget regime and under the
+    forced block-max WAND kernel — must be rank-identical to exhaustive
+    declarative BM25 over the union corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkforward.bm25 import bm25_topk
+
+    words = [f"w{i}" for i in range(30)]
+    cfg = dict(salt_threshold=10, n_salt=4, num_partitions=3,
+               target_shard_postings=20, block_size=8)
+
+    def norm(df):
+        out = df.select("q_id", "id", "rank").toPandas()
+        out["rank"] = out["rank"].astype("int64")
+        return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+    for seed in (11, 47):
+        rng = np.random.default_rng(seed)
+
+        def mk(lo, hi, len_lo, len_hi):
+            return [
+                (int(i),
+                 " ".join(rng.choice(words, size=int(rng.integers(len_lo, len_hi)))))
+                for i in range(lo, hi)
+            ]
+
+        c1 = int(rng.integers(40, 70))
+        c2 = int(rng.integers(80, 110))
+        # long base docs, short first delta (avgdl drops), long second
+        # delta (avgdl rises again)
+        rows = mk(0, c1, 20, 40) + mk(c1, c2, 3, 8) + mk(c2, 130, 30, 60)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        d = F.col("doc_id")
+        path = str(tmp_path / f"s{seed}")
+        build_inverted_index(docs.filter(d < c1).repartition(3), path, **cfg)
+        append_to_index(
+            spark, path, docs.filter((d >= c1) & (d < c2)),
+            num_partitions=3, mode="segment",
+        )
+        idx = append_to_index(
+            spark, path, docs.filter(d >= c2), num_partitions=3, mode="segment"
+        )
+        queries = [
+            (f"q{j}", " ".join(rng.choice(words, size=int(rng.integers(1, 4)))))
+            for j in range(5)
+        ]
+        qdf = spark.createDataFrame(queries, "q_id string, query string")
+        expected = norm(bm25_topk(docs, qdf, k=7))
+        for budget in (None, 3, 0):
+            served = norm(wand_topk(idx, qdf, k=7, max_meta_blocks=budget))
+            pd.testing.assert_frame_equal(served, expected), (seed, budget)
+        served_w = norm(
+            wand_topk(idx, qdf, k=7, taat_max_postings=0, max_meta_blocks=3)
+        )
+        pd.testing.assert_frame_equal(served_w, expected), seed
+
+
 def test_orphaned_generation_is_wiped_and_retry_succeeds(spark, docs, tmp_path):
     """A crashed append leaves an uncommitted gen dir; the base index still
     loads (stats.json untouched) and a retry wipes + completes."""
