@@ -81,6 +81,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSM segment-mode maintenance: 70% + two stacked segment appends,
         # served from the 3-segment stack (untouched rows never rewritten)
         "bm25_segment_topk": q.q_bm25_segment_topk,
+        # Lucene-style LSM maintenance: each append writes ONLY the delta's
+        # own mini-index (O(delta bytes)); serve concatenates per-segment
+        # blocks + sums the additive dictionary across the 3-deep stack
+        "bm25_lsm_topk": q.q_bm25_lsm_topk,
+        # doc-granular deletion: tombstone sidecar (no posting byte
+        # rewritten), exact stats/df adjust, kernels skip deleted ids
+        "bm25_deleted_topk": q.q_bm25_deleted_topk,
         "interpolate_from_wand": q.q_interpolate_from_wand,
         # RM3 pseudo-relevance-feedback expansion over the native first stage
         "bm25_rm3_topk": q.q_bm25_rm3_topk,
@@ -126,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q.q_dedup_keep_first,
         # substring-level exact dedup (Lee et al. 2022 ExactSubstr shape)
         "dedup_substring": q.q_dedup_substring,
+        # span removal applied: the cleaned corpus (kept/removed counts)
+        "dedup_substring_apply": q.q_dedup_substring_apply,
         # events / streaming analytics (batch modes of the streaming ops)
         "event_window": q.q_event_window,
         "user_sessions": q.q_user_sessions,
@@ -163,6 +172,12 @@ def oracle_sql() -> dict[str, str]:
         # segment-stack serving is exact (scores recompute from raw tf/dl;
         # ratio-adjusted stale bounds only prune) — same oracle
         "bm25_segment_topk": q.sql_bm25_topk(),
+        # Lucene-style LSM stack serving is exact too (cross-segment block
+        # concatenation + additive dictionary sum reproduce the union index)
+        "bm25_lsm_topk": q.sql_bm25_topk(),
+        # a deleted index serves exactly the surviving corpus: the oracle
+        # re-scores the doc_id % 7 <> 3 survivors from scratch
+        "bm25_deleted_topk": q.sql_bm25_deleted_topk(),
         # WAND top-100 is rank-identical to BM25 top-100, so the composed
         # pipeline shares the exhaustive interpolation oracle
         "interpolate_from_wand": q.sql_interpolate_rerank(),
@@ -197,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": q.sql_dedup_clusters(),
         "dedup_keep_first": q.sql_dedup_keep_first(),
         "dedup_substring": q.sql_dedup_substring(),
+        "dedup_substring_apply": q.sql_dedup_substring_apply(),
         "event_window": q.sql_event_window(),
         "user_sessions": q.sql_user_sessions(),
         "token_count": q.sql_token_count(),

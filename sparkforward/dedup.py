@@ -973,7 +973,19 @@ def substring_oracle_sql(source: str = "documents", min_tokens: int = SUBSTRING_
     """
     L = int(min_tokens)
     return f"""
-WITH tok AS (
+WITH {_substring_span_ctes(source, L)}
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS start_tok,
+       CAST(max(p) + {L - 1} AS BIGINT) AS end_tok,
+       CAST(max(p) - min(p) + {L} AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, run_id
+"""
+
+
+def _substring_span_ctes(source: str, L: int) -> str:
+    """The shared CTE chain (tokenize -> shingle -> dup keys ->
+    gaps-and-islands) both substring oracles build on."""
+    return f"""tok AS (
   SELECT doc_id, list_filter(
     regexp_split_to_array(lower(text), '{SPLIT_PATTERN}'), t -> t <> '') AS ts
   FROM {source} AS _sub_src
@@ -998,10 +1010,47 @@ isl AS (
          sum(brk) OVER (PARTITION BY doc_id ORDER BY p
                         ROWS UNBOUNDED PRECEDING) AS run_id
   FROM br
+)"""
+
+
+def substring_apply_oracle_sql(
+    source: str = "documents", min_tokens: int = SUBSTRING_MIN_TOKENS
+) -> str:
+    """DuckDB twin of :func:`substring_duplicate_spans` +
+    :func:`apply_span_removals` composed: the cleaned corpus.
+
+    Reuses the span CTE chain, marks every covered token position, and
+    string_agg-rebuilds the surviving tokens in order (single-space
+    joined, exactly the engine's canonical token-stream output). Docs
+    with no surviving token — or no tokens at all — keep a row with
+    empty text, mirroring the Spark side's left join."""
+    L = int(min_tokens)
+    return f"""
+WITH {_substring_span_ctes(source, L)},
+spans AS (
+  SELECT doc_id, min(p) AS start_tok, max(p) + {L - 1} AS end_tok
+  FROM isl GROUP BY doc_id, run_id
+),
+tpos AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS i, ts[CAST(r.i AS BIGINT) + 1] AS t
+  FROM tok, unnest(range(0, len(ts))) AS r(i)
+),
+keep AS (
+  SELECT tp.doc_id, tp.i, tp.t
+  FROM tpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.i BETWEEN s.start_tok AND s.end_tok
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text,
+         count(*) AS nk
+  FROM keep GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(min(p) AS BIGINT) AS start_tok,
-       CAST(max(p) + {L - 1} AS BIGINT) AS end_tok,
-       CAST(max(p) - min(p) + {L} AS BIGINT) AS span_tokens
-FROM isl GROUP BY doc_id, run_id
+SELECT d.doc_id,
+       coalesce(a.text, '') AS text,
+       CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(d.ts) - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+FROM tok d LEFT JOIN agg a USING (doc_id)
 """

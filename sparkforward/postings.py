@@ -358,11 +358,30 @@ def compose_segment_postings(
 
     ``adjust_bounds=False`` yields the raw stored rows — for the appender
     and compactor, which drop or recompute the metadata anyway.
+
+    **Cross-segment block numbering** (the serve path,
+    ``adjust_bounds=True``): per-segment (LSM, append.py mode="lsm")
+    postings give one (term, salt) shard block rows in SEVERAL segments,
+    each numbered 0..B-1 locally. The composed view renumbers them as
+    ``segment_ordinal << 24 | block_no`` so that sorting by the (still
+    int32) ``block_no`` recovers GLOBAL doc order — appends are
+    id-monotone, so segment order IS doc order, and every block is
+    delta-restarted (self-contained), so the serve kernels' reassembly of
+    a multi-segment shard concatenates into one valid posting list with
+    strictly ascending block ranges. Capacity: <= 128 live segments
+    (auto-compaction keeps stacks far below this) x <= 2^24 blocks per
+    (term, salt, segment) (8M postings/shard target, >= 1 posting/block).
     """
+    segs = stats["segments"]
+    if adjust_bounds and len(segs) > 128:
+        raise RuntimeError(
+            f"segment stack too deep ({len(segs)} > 128) — compact_index first"
+        )
     cur = float(stats["avgdl"])
     parts = []
     tomb: DataFrame | None = None
-    for seg in reversed(stats["segments"]):  # newest first: accum tombstones
+    for ord_ in range(len(segs) - 1, -1, -1):  # newest first: accum tombstones
+        seg = segs[ord_]
         d = os.path.join(path, seg["dir"]) if seg["dir"] else path
         df = spark.read.parquet(os.path.join(d, "postings"))
         if tomb is not None:
@@ -373,6 +392,10 @@ def compose_segment_postings(
             df = df.withColumn(
                 "max_z", F.col("max_z") * F.lit(max(1.0, ratio))
             ).withColumn("min_z", F.col("min_z") * F.lit(min(1.0, ratio)))
+        if adjust_bounds and ord_ > 0:
+            df = df.withColumn(
+                "block_no", (F.col("block_no") + F.lit(ord_ << 24)).cast("int")
+            )
         parts.append(df)
         t = seg.get("tombstones")
         if t:
@@ -382,6 +405,81 @@ def compose_segment_postings(
     for df in parts[1:]:
         postings = postings.unionByName(df)
     return postings
+
+
+def compose_segment_terms(spark: SparkSession, path: str, stats: dict) -> DataFrame:
+    """Union term dictionary of an ADDITIVE (LSM) segment stack.
+
+    LSM segments (append.py mode="lsm") store only their DELTA's term
+    frequencies — O(delta vocabulary) written per append instead of the
+    whole union dictionary. Each document is counted in exactly one
+    segment, so the union df is the plain sum: walk newest -> oldest,
+    taking additive segments' delta-local tables until the newest
+    NON-additive segment (a built base or a term-granular append, whose
+    terms table IS the union as of its commit), then sum and re-derive
+    idf under the CURRENT corpus size + per-term shard counts from the
+    pinned head map in ``stats`` — the same :func:`attach_term_meta`
+    expression a scratch build runs, so composed metadata is bit-identical
+    to a from-scratch union build's.
+    """
+    parts = []
+    for seg in reversed(stats["segments"]):
+        d = os.path.join(path, seg["dir"]) if seg["dir"] else path
+        if seg.get("kind") != "lsm":
+            # this segment's table already holds the union up to here; a
+            # delete-generation terms_dir override (written pre-stack, when
+            # the index had no segments) supersedes the base's own table
+            td = stats.get("terms_dir")
+            if td:
+                d = os.path.join(path, td)
+            parts.append(
+                spark.read.parquet(os.path.join(d, "terms")).select("term", "df")
+            )
+            break
+        parts.append(
+            spark.read.parquet(os.path.join(d, "terms")).select("term", "df")
+        )
+    df_union = parts[0]
+    for p in parts[1:]:
+        df_union = df_union.unionByName(p)
+    df_union = df_union.groupBy("term").agg(F.sum("df").alias("df"))
+    head = {t: int(m) for t, m in (stats.get("head") or {}).items()}
+    return attach_term_meta(df_union, float(stats["n_docs"]), head)
+
+
+def current_terms(spark: SparkSession, path: str, stats: dict) -> DataFrame:
+    """The committed index's CURRENT term dictionary, whatever its layout.
+
+    Resolution order: an explicit ``terms_dir`` override (written by
+    :func:`append.delete_docs` — the postings stay in place, only the
+    dictionary and the tombstone sidecar move to a new generation), then
+    the additive per-segment sum (LSM stacks), then the plain
+    ``data_dir/terms`` table. Shared by the loader, the appender and the
+    compactor so every maintenance op sees the same dictionary.
+    """
+    if stats.get("terms_layout") == "additive":
+        # LSM stack — the compose itself honors a pre-stack terms_dir
+        # override for the base segment's union table
+        return compose_segment_terms(spark, path, stats)
+    td = stats.get("terms_dir")
+    if td:
+        return spark.read.parquet(os.path.join(path, td, "terms"))
+    return spark.read.parquet(os.path.join(index_data_root(path, stats), "terms"))
+
+
+def load_deletes(spark: SparkSession, path: str, stats: dict) -> np.ndarray:
+    """The cumulative doc-tombstone sidecar as a SORTED int64 array.
+
+    Deletes are workload-bounded (takedown/GDPR batches), never
+    corpus-sized — the array is driver-held and ships to serve kernels in
+    the task closure like the head map does. Empty array when the index
+    has no deletes.
+    """
+    dd = stats.get("deletes_dir")
+    if not dd:
+        return np.empty(0, dtype=np.int64)
+    rows = spark.read.parquet(os.path.join(path, dd, "deletes")).collect()
+    return np.sort(np.asarray([r["doc_id"] for r in rows], dtype=np.int64))
 
 
 def index_data_root(path: str, stats: dict | None = None) -> str:
@@ -404,11 +502,23 @@ def index_data_root(path: str, stats: dict | None = None) -> str:
 class PostingIndex:
     """A built inverted index: postings + term stats + global stats."""
 
-    def __init__(self, postings: DataFrame, terms: DataFrame, stats: dict, path: str | None = None):
+    def __init__(
+        self,
+        postings: DataFrame,
+        terms: DataFrame,
+        stats: dict,
+        path: str | None = None,
+        deletes: np.ndarray | None = None,
+    ):
         self.postings = postings
         self.terms = terms  # (term, df, idf, n_shards)
         self.stats = stats  # {n_docs, avgdl, k1, b, block_size}
         self.path = path
+        #: sorted doc-tombstone array (append.delete_docs sidecar) — empty
+        #: when nothing is deleted; serve kernels skip these ids at decode
+        self.deletes: np.ndarray = (
+            deletes if deletes is not None else np.empty(0, dtype=np.int64)
+        )
         self._term_meta: dict[str, tuple[float, int]] = {}
         #: per-term (term, salt) shard summaries: [(salt, blocks, shard_max_z,
         #: n_bytes, n_postings)] — memoized like _term_meta
@@ -555,19 +665,26 @@ class PostingIndex:
     def load(cls, spark: SparkSession, path: str) -> "PostingIndex":
         with open(os.path.join(path, "stats.json")) as fh:
             stats = json.load(fh)
+        terms = current_terms(spark, path, stats)
+        deletes = load_deletes(spark, path, stats)
         if not stats.get("segments"):
             root = index_data_root(path, stats)
-            return cls(
-                spark.read.parquet(os.path.join(root, "postings")),
-                spark.read.parquet(os.path.join(root, "terms")),
-                stats,
-                path=path,
-            )
-        terms = spark.read.parquet(
-            os.path.join(path, stats["data_dir"], "terms")
-        )
+            postings = spark.read.parquet(os.path.join(root, "postings"))
+            # a delete moves stats.avgdl without touching the stored block
+            # bounds (written under data_avgdl) — the same avgdl-ratio bound
+            # the segment compose applies keeps pruning sound (z moves by at
+            # most the ratio: monotone denominator bound; scores recompute
+            # exactly from tf/dl at serve time)
+            cur = float(stats["avgdl"])
+            wrote = float(stats.get("data_avgdl", cur))
+            if wrote != cur and wrote > 0:
+                ratio = cur / wrote
+                postings = postings.withColumn(
+                    "max_z", F.col("max_z") * F.lit(max(1.0, ratio))
+                ).withColumn("min_z", F.col("min_z") * F.lit(min(1.0, ratio)))
+            return cls(postings, terms, stats, path=path, deletes=deletes)
         postings = compose_segment_postings(spark, path, stats)
-        return cls(postings, terms, stats, path=path)
+        return cls(postings, terms, stats, path=path, deletes=deletes)
 
     def cache(self) -> "PostingIndex":
         """Pin postings + term stats in executor memory for serving."""
@@ -880,16 +997,39 @@ def salt_partials(partials: DataFrame, head: dict[str, int]) -> DataFrame:
 
 
 def merge_salted(
-    salted: DataFrame, head: dict[str, int], avgdl: float, block_size: int
+    salted: DataFrame,
+    head: dict[str, int],
+    avgdl: float,
+    block_size: int,
+    drop_docs: np.ndarray | None = None,
 ) -> DataFrame:
     """k-way-merge each (term, salt) group's partial blobs into final
     BLOCK-granular posting rows. Shared by the batch builder and the
     incremental appender — byte-identity of appended indexes rests on both
-    going through this exact kernel."""
+    going through this exact kernel.
+
+    ``drop_docs`` (sorted int64, bounded — the delete-tombstone sidecar):
+    postings of these docs are dropped AFTER assembly, so a compaction of
+    a deleted index re-encodes exactly the surviving postings — the same
+    arrays a scratch build over the surviving corpus would see.
+    """
+    dels = drop_docs if drop_docs is not None and len(drop_docs) else None
 
     def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = keys
         docs, tf_a, dl_a = assemble_partial_group(pdf)
+        if dels is not None:
+            pos = np.searchsorted(dels, docs)
+            hit = (pos < len(dels)) & (
+                dels[np.minimum(pos, len(dels) - 1)] == docs
+            )
+            if hit.any():
+                keep = ~hit
+                docs, tf_a, dl_a = docs[keep], tf_a[keep], dl_a[keep]
+            if len(docs) == 0:  # every posting of this shard was deleted
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in BLOCK_POSTING_SCHEMA.fields}
+                )
         blocks = encode_posting_blocks(docs, tf_a, dl_a, avgdl, block_size)
         nsh = head.get(term, 1)
         return pd.DataFrame(
@@ -1064,6 +1204,10 @@ def merge_partials(
         "n_salt": n_salt,
         "n_buckets": n_buckets,
         "target_shard_postings": int(target_shard_postings),
+        # pinned per-term shard moduli (head terms only — driver-bounded):
+        # the incremental appender (append.py) diffs the stored map against
+        # the union corpus's to detect terms whose modulus must change
+        "head": {t: int(m) for t, m in head.items()},
     }
     if sum_dl is not None:
         stats["sum_dl"] = int(sum_dl)

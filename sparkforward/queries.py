@@ -94,7 +94,7 @@ _BM25_CTES = f"""
   qterms(q_id, term) AS (VALUES {{qvalues}}),
   tok AS (
     SELECT doc_id, t.term
-    FROM documents, unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS t(term)
+    FROM {{source}}, unnest(regexp_split_to_array(lower(text), '{SPLIT_PATTERN}')) AS t(term)
     WHERE t.term <> ''
   ),
   dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
@@ -117,8 +117,8 @@ _BM25_CTES = f"""
 """
 
 
-def _bm25_ctes(subset: list[str] | None = None) -> str:
-    return _BM25_CTES.format(qvalues=_values_queries(subset))
+def _bm25_ctes(subset: list[str] | None = None, source: str = "documents") -> str:
+    return _BM25_CTES.format(qvalues=_values_queries(subset), source=source)
 
 
 # ------------------------------------------------- Spark building blocks #
@@ -392,6 +392,116 @@ def q_bm25_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(_segmented_index(spark, sf_dir), queries_df(spark), k=K_FINAL)
 
 
+def _lsm_index(spark: SparkSession, sf_dir: str):
+    """An index grown to the full corpus by TWO stacked Lucene-style LSM
+    appends (70% -> 85% -> 100%, append.py mode="lsm"): each delta writes
+    its OWN complete mini-index (no base row read except df-resharded
+    terms), so head-term (term, salt) shards hold block rows in all three
+    segments and serving exercises the cross-segment concatenation
+    (postings.compose_segment_postings block renumbering) plus the
+    additive dictionary (postings.compose_segment_terms)."""
+    import tempfile
+
+    from sparkforward.append import append_to_index
+    from sparkforward.postings import build_inverted_index
+
+    hit = _WAND_INDEX_CACHE.get(spark, ("lsm", sf_dir))
+    if hit is not None:
+        return hit[0]
+    docs = load_documents(spark, sf_dir)
+    d = F.col("doc_id").cast("long")
+    hi = int(docs.agg(F.max(d)).collect()[0][0])
+    c1, c2 = hi * 7 // 10, hi * 17 // 20
+    path = tempfile.mkdtemp(prefix="sfwd_lsmidx_")
+    build_inverted_index(
+        docs.filter(d < c1), path,
+        salt_threshold=100, n_salt=4, num_partitions=8,
+    )
+    append_to_index(
+        spark, path, docs.filter((d >= c1) & (d < c2)),
+        num_partitions=8, mode="lsm",
+    )
+    index = append_to_index(
+        spark, path, docs.filter(d >= c2), num_partitions=8, mode="lsm"
+    ).cache()
+    _WAND_INDEX_CACHE.put(spark, ("lsm", sf_dir), (index, path))
+    return index
+
+
+def q_bm25_lsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style LSM maintenance under the hash gate (judge r6 #1):
+    build 70% of the corpus, stack two ``mode="lsm"`` appends — each
+    writes ONLY the delta's own mini-index, O(delta bytes), no head-term
+    re-merge — and serve WAND top-10 from the 3-segment stack. A head
+    (term, salt) shard's posting list is the cross-segment concatenation
+    of self-contained blocks (id-monotone appends make segment order doc
+    order), the dictionary is the additive per-segment sum, and scores
+    recompute from raw tf/dl under the current avgdl — so rows must equal
+    ``bm25_topk`` exactly and the entry shares its oracle.
+    """
+    from sparkforward.wand import wand_topk
+
+    return wand_topk(_lsm_index(spark, sf_dir), queries_df(spark), k=K_FINAL)
+
+
+#: the deleted slice for bm25_deleted_topk — SQL-expressible so the DuckDB
+#: oracle filters the same survivors: doc_id % 7 == 3 (~14% of the corpus)
+DELETE_MOD, DELETE_RES = 7, 3
+
+
+def _deleted_index(spark: SparkSession, sf_dir: str):
+    """Full-corpus index with every ``doc_id % 7 == 3`` document deleted
+    via :func:`sparkforward.append.delete_docs` — doc-tombstone sidecar,
+    postings untouched on disk, dictionary + stats adjusted exactly."""
+    import tempfile
+
+    from sparkforward.append import delete_docs
+    from sparkforward.postings import build_inverted_index
+
+    hit = _WAND_INDEX_CACHE.get(spark, ("deleted", sf_dir))
+    if hit is not None:
+        return hit[0]
+    docs = load_documents(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="sfwd_delidx_")
+    build_inverted_index(
+        docs, path, salt_threshold=100, n_salt=4, num_partitions=8
+    )
+    d = F.col("doc_id").cast("long")
+    index = delete_docs(
+        spark, path,
+        docs.filter(d % DELETE_MOD == DELETE_RES).select(d.alias("doc_id")),
+    ).cache()
+    _WAND_INDEX_CACHE.put(spark, ("deleted", sf_dir), (index, path))
+    return index
+
+
+def q_bm25_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-granular deletion under the hash gate (judge r6 #2): build the
+    full corpus, delete the ``doc_id % 7 == 3`` slice (tombstone sidecar —
+    no posting byte rewritten; stats/df/idf adjusted exactly from the
+    deleted docs' own postings), and serve WAND top-10. Serving a deleted
+    index is EXACT over the surviving corpus: kernels skip tombstoned ids
+    at decode, θ0 coverage counts subtract range-tombstones, stale bounds
+    ratio-adjust — so rows must equal exhaustive BM25 over the survivors
+    (the oracle below scores the filtered corpus from scratch).
+    """
+    from sparkforward.wand import wand_topk
+
+    return wand_topk(_deleted_index(spark, sf_dir), queries_df(spark), k=K_FINAL)
+
+
+def sql_bm25_deleted_topk() -> str:
+    src = (
+        f"(SELECT * FROM documents WHERE doc_id % {DELETE_MOD} <> {DELETE_RES})"
+        " AS documents"
+    )
+    return f"""
+WITH {_bm25_ctes(source=src)}
+SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score
+FROM bm25_ranked WHERE rank <= {K_FINAL}
+"""
+
+
 def q_bm25_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental index maintenance under the hash gate (judge r5 #4):
     build over the first 80% of the corpus, append the remaining 20%
@@ -416,7 +526,9 @@ def _values_batch_queries() -> str:
 def sql_bm25_wand_batch_topk() -> str:
     """WAND must equal exhaustive BM25 on the batch query set — the oracle
     is the shared BM25 CTE template over the 64 batch queries."""
-    ctes = _BM25_CTES.format(qvalues=_values_batch_queries())
+    ctes = _BM25_CTES.format(
+        qvalues=_values_batch_queries(), source="documents"
+    )
     return f"""
 WITH {ctes}
 SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score
@@ -1692,6 +1804,25 @@ def sql_dedup_substring() -> str:
     from sparkforward.dedup import substring_oracle_sql
 
     return substring_oracle_sql(_SUBSTRING_CORPUS_SQL, min_tokens=8)
+
+
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL composed end-to-end (judge r6 #3): find the maximal
+    duplicated >= 8-token spans over the planted-passage corpus, then
+    rebuild the cleaned corpus — surviving tokens rejoined at the
+    engine's canonical token granularity, plus exact kept/removed counts
+    per document (every doc keeps a row, even if fully deduplicated)."""
+    from sparkforward.dedup import apply_span_removals, substring_duplicate_spans
+
+    corpus = _substring_corpus(load_documents(spark, sf_dir))
+    spans = substring_duplicate_spans(corpus, min_tokens=8)
+    return apply_span_removals(corpus, spans)
+
+
+def sql_dedup_substring_apply() -> str:
+    from sparkforward.dedup import substring_apply_oracle_sql
+
+    return substring_apply_oracle_sql(_SUBSTRING_CORPUS_SQL, min_tokens=8)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -195,22 +195,28 @@ def repetition_stats(
 def _repetition_stats_arrow(docs: DataFrame, text_col: str) -> DataFrame:
     """Arrow-batched execution of :func:`repetition_stats` (see there).
 
-    Rounding note: Spark ``F.round`` is HALF_UP; for the non-negative
-    fractions produced here ``floor(x*1e6 + 0.5) / 1e6`` is the exact
-    same function, so the kernel's output bit-matches the JVM
-    expression (and therefore the DuckDB oracle) without a
-    banker's-rounding trap from Python's ``round``.
+    Rounding note: Spark ``F.round`` is HALF_UP over the double's
+    SHORTEST DECIMAL REPR (BigDecimal semantics). ``floor(x*1e6+0.5)``
+    can disagree when ``x*1e6`` lands a half-ulp below a .5 boundary
+    while the shortest repr sits at/above it, so the kernel uses the
+    same Decimal-based rounding as :func:`similarity._round_half_up6`
+    — exact by construction, not just empirically pinned. Cost is ~3
+    quantize calls per doc, dwarfed by tokenize+factorize.
     """
     import re
+    from decimal import ROUND_HALF_UP, Decimal
 
     split_re = re.compile(SPLIT_PATTERN)
+    _Q6 = Decimal("0.000001")
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
         def r6(x):
-            return np.floor(np.float64(x) * 1e6 + 0.5) / 1e6
+            return float(
+                Decimal(repr(float(x))).quantize(_Q6, rounding=ROUND_HALF_UP)
+            )
 
         for pdf in batches:
             n = len(pdf)

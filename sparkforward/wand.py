@@ -201,6 +201,13 @@ class _ShardCursor:
             self.in_block = 0
 
 
+def _keep_mask(docs: np.ndarray, dels: np.ndarray) -> np.ndarray:
+    """True where ``docs`` is NOT in the sorted doc-tombstone array —
+    vectorized membership against the (bounded) delete sidecar."""
+    pos = np.searchsorted(dels, docs)
+    return ~((pos < len(dels)) & (dels[np.minimum(pos, len(dels) - 1)] == docs))
+
+
 def wand_query(
     term_rows: pd.DataFrame,
     k: int,
@@ -210,8 +217,14 @@ def wand_query(
     residue: int = 0,
     stats_out: list | None = None,
     init_threshold: float = -np.inf,
+    deletes: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one query's shard rows -> [(doc_id, score)].
+
+    ``deletes``: sorted doc-tombstone array (append.delete_docs) — a
+    tombstoned pivot is stepped over without scoring, exactly like a
+    foreign serve-shard residue; stored block bounds still include deleted
+    postings, which only over-estimates (sound).
 
     ``stats_out``: when a list is passed, ``(blocks_decoded,
     blocks_total)`` is appended — the pruning-efficiency counters.
@@ -286,8 +299,13 @@ def wand_query(
                     c.seek(d_next)
             continue
         if live[0].current() == pivot_doc:
-            if modulus > 1 and pivot_doc % modulus != residue:
-                # foreign serve-shard residue: step over without scoring
+            skip = modulus > 1 and pivot_doc % modulus != residue
+            if not skip and deletes is not None and len(deletes):
+                i = int(np.searchsorted(deletes, pivot_doc))
+                skip = i < len(deletes) and int(deletes[i]) == pivot_doc
+            if skip:
+                # foreign serve-shard residue or tombstoned doc: step over
+                # without scoring
                 for c in live:
                     if c.current() == pivot_doc:
                         c.advance()
@@ -462,8 +480,14 @@ def wand_query_vec(
     residue: int = 0,
     stats_out: list | None = None,
     init_threshold: float = -np.inf,
+    deletes: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-at-a-time vectorized block-max WAND (judge r4 #1).
+
+    ``deletes``: sorted doc-tombstone array — tombstoned postings are
+    masked out of every candidate batch alongside the serve-shard residue
+    filter; strip/block bounds keep the deleted postings' contributions,
+    which only over-estimates (sound pruning, exact scores).
 
     Same contract as :func:`wand_query` (exact top-k by rounded score
     desc, doc asc; lossless block-max pruning with the one-rounding-unit
@@ -585,6 +609,9 @@ def wand_query_vec(
             if modulus > 1:
                 keep = (docs % modulus) == residue
                 docs, scores = docs[keep], scores[keep]
+            if deletes is not None and len(deletes) and len(docs):
+                keep = _keep_mask(docs, deletes)
+                docs, scores = docs[keep], scores[keep]
             if len(docs):
                 o = np.argsort(docs, kind="stable")
                 d2, s2 = docs[o], scores[o]
@@ -622,6 +649,7 @@ def taat_query(
     modulus: int = 1,
     residue: int = 0,
     stats_out: list | None = None,
+    deletes: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Term-at-a-time exhaustive scoring, fully NumPy-vectorized.
 
@@ -651,8 +679,11 @@ def taat_query(
     if modulus > 1:
         keep = (docs % modulus) == residue
         docs, scores = docs[keep], scores[keep]
-        if len(docs) == 0:
-            return []
+    if deletes is not None and len(deletes) and len(docs):
+        keep = _keep_mask(docs, deletes)  # tombstoned docs never score
+        docs, scores = docs[keep], scores[keep]
+    if len(docs) == 0:
+        return []
     order = np.argsort(docs, kind="stable")
     d2, s2 = docs[order], scores[order]
     uniq, idx = np.unique(d2, return_index=True)
@@ -685,7 +716,7 @@ _FINE_INTERVALS = 8
 def _serve_blocked(
     spark, index, postings, term_list, meta, q_terms, q_n_serve,
     kk, avgdl, block_size, taat_max, acc_decoded, acc_total, io_stats, emit,
-    max_meta_blocks, legacy,
+    max_meta_blocks, legacy, deletes=None,
 ):
     """Block-granular serve: metadata plan -> block pre-filter -> gather.
 
@@ -783,13 +814,29 @@ def _serve_blocked(
         for salt, rows in by_salt.items():
             rows.sort(key=lambda r: r["block_no"])
             scores = np.asarray([idf_t * r["max_z"] for r in rows], dtype=np.float64)
+            firsts = np.asarray([r["first_doc"] for r in rows], dtype=np.int64)
+            lasts = np.asarray([r["last_doc"] for r in rows], dtype=np.int64)
+            ns = np.asarray([r["n"] for r in rows], dtype=np.int64)
+            if deletes is not None and len(deletes):
+                # θ0 k-coverage counts must only count SURVIVING docs:
+                # subtract the tombstones falling in each block's doc range
+                # (an overcount when a tombstone's id isn't actually in the
+                # block — which only LOWERS θ0: sound)
+                ns = np.maximum(
+                    ns
+                    - (
+                        np.searchsorted(deletes, lasts, side="right")
+                        - np.searchsorted(deletes, firsts, side="left")
+                    ),
+                    0,
+                )
             fine_series[t][salt] = {
-                "firsts": np.asarray([r["first_doc"] for r in rows], dtype=np.int64),
-                "lasts": np.asarray([r["last_doc"] for r in rows], dtype=np.int64),
+                "firsts": firsts,
+                "lasts": lasts,
                 "scores": scores,
                 "levels": _levels(scores),
                 "mins": np.asarray([idf_t * r["min_z"] for r in rows], dtype=np.float64),
-                "ns": np.asarray([r["n"] for r in rows], dtype=np.int64),
+                "ns": ns,
                 "nbytes": np.asarray([r["n_bytes"] for r in rows], dtype=np.int64),
                 "rows": rows,
             }
@@ -1083,6 +1130,8 @@ def _serve_blocked(
         kw = {}
         if kernel is wand_query_vec and theta != neg_inf:
             kw["init_threshold"] = theta
+        if deletes is not None and len(deletes):
+            kw["deletes"] = deletes
         hits = kernel(
             tr, kk, avgdl, block_size, modulus, int(shard), stats_out=stats, **kw
         )
@@ -1232,13 +1281,16 @@ def wand_topk(
             }
         )
 
+    deletes = getattr(index, "deletes", None)
+    if deletes is not None and not len(deletes):
+        deletes = None
     if "block_no" in postings.columns:
         per_shard = _serve_blocked(
             spark, index, postings, term_list, meta, q_terms, q_n_serve,
             kk, avgdl, block_size, taat_max, acc_decoded, acc_total,
             io_stats, _emit,
             MAX_META_BLOCKS if max_meta_blocks is None else int(max_meta_blocks),
-            legacy,
+            legacy, deletes=deletes,
         )
         if per_shard is None:
             return spark.createDataFrame([], RESULT_SCHEMA)
@@ -1271,7 +1323,8 @@ def wand_topk(
                 kernel = wand_query_vec
             stats: list | None = [] if acc_decoded is not None else None
             hits = kernel(
-                pdf, kk, avgdl, block_size, modulus, int(shard), stats_out=stats
+                pdf, kk, avgdl, block_size, modulus, int(shard),
+                stats_out=stats, deletes=deletes,
             )
             if stats:
                 acc_decoded.add(stats[0][0])
