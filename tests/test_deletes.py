@@ -152,6 +152,36 @@ def test_delete_requires_single_generation(spark, docs, tmp_path):
         delete_docs(spark, str(tmp_path / "a"), [5])
 
 
+def test_delete_entire_term_then_compact(spark, tmp_path):
+    """Deleting every doc that carries a term drops it from the
+    dictionary (idf/df exactness over survivors), serving skips it, and
+    compaction's merge kernel handles the fully-emptied (term, salt)
+    group (the empty-after-drop guard) — byte-identical to a scratch
+    build of the survivors."""
+    rows = [
+        (i, "common words here " + ("rareterm only docs " if i < 3 else "filler text "))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = dict(salt_threshold=10, n_salt=4, block_size=8, num_partitions=3,
+               target_shard_postings=20)
+    build_inverted_index(docs, str(tmp_path / "a"), **cfg)
+    idx = delete_docs(spark, str(tmp_path / "a"), [0, 1, 2])
+    assert idx.terms.filter(F.col("term") == "rareterm").count() == 0
+
+    survivors = docs.filter(F.col("doc_id") >= 3)
+    scratch = build_inverted_index(survivors, str(tmp_path / "b"), **cfg)
+    qdf = spark.createDataFrame(
+        [("q1", "rareterm"), ("q2", "common filler")], "q_id string, query string"
+    )
+    a = wand_topk(idx, qdf, k=5).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = wand_topk(scratch, qdf, k=5).toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    compact_index(spark, str(tmp_path / "a"))
+    assert index_signature(str(tmp_path / "a")) == index_signature(str(tmp_path / "b"))
+
+
 def test_delete_empty_is_noop(spark, docs, tmp_path):
     build_inverted_index(docs.filter(F.col("doc_id") < 400),
                          str(tmp_path / "a"), **CFG)
