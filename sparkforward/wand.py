@@ -1285,8 +1285,12 @@ def wand_topk(
     if deletes is not None and not len(deletes):
         deletes = None
     if "block_no" in postings.columns:
+        # plan only dictionary-live terms: a deleted index can hold posting
+        # rows for a term whose df dropped to 0 (dictionary row removed,
+        # blobs untouched) — those rows are dead until compaction drops them
+        live_terms = [t for t in term_list if t in meta]
         per_shard = _serve_blocked(
-            spark, index, postings, term_list, meta, q_terms, q_n_serve,
+            spark, index, postings, live_terms, meta, q_terms, q_n_serve,
             kk, avgdl, block_size, taat_max, acc_decoded, acc_total,
             io_stats, _emit,
             MAX_META_BLOCKS if max_meta_blocks is None else int(max_meta_blocks),

@@ -96,6 +96,10 @@ def _worker_corpus(args) -> None:
         args.corpus + "_delta"
     )
     docs.write.mode("overwrite").parquet(args.corpus + "_union")
+    # survivors of the delete leg: base minus the doc_id % 10 == 7 slice
+    docs.filter(f"doc_id < {args.docs} AND doc_id % 10 <> 7").write.mode(
+        "overwrite"
+    ).parquet(args.corpus + "_surv")
     spark.stop()
 
 
@@ -148,6 +152,24 @@ def _worker_compact(args) -> None:
 
     spark = get_spark(app_name="append-soak-compact", cores=args.cores)
     compact_index(spark, args.path)
+    spark.stop()
+
+
+def _worker_delete(args) -> None:
+    """Delete the ``doc_id % 10 == 7`` slice of the base corpus."""
+    from pyspark.sql import functions as F
+
+    from sparkforward.append import delete_docs
+    from sparkforward.session import get_spark
+
+    spark = get_spark(app_name="append-soak-delete", cores=args.cores)
+    d = F.col("doc_id").cast("long")
+    ids = (
+        spark.read.parquet(args.corpus)
+        .filter(d % 10 == 7)
+        .select(d.alias("doc_id"))
+    )
+    delete_docs(spark, args.path, ids)
     spark.stop()
 
 
@@ -302,6 +324,58 @@ def run_append_soak(
         lsm_ok and p.returncode == 0 and index_signature(path_l) == ref_sig
     )
 
+    # ----- delete leg: SIGKILL mid-delete (base intact — the gen holding
+    # the new dictionary/sidecar is uncommitted until the stats flip),
+    # retry, then compact must physically drop the tombstones and land
+    # byte-identical to a scratch build of the SURVIVORS -----
+    path_d = os.path.join(work, "idx_deleted")
+    shutil.copytree(path_b0, path_d)
+    path_sv = os.path.join(work, "idx_survivors")
+    p = _spawn("build", corpus + "_surv", path_sv, n_docs, 0, cores)
+    p.wait()
+    if p.returncode != 0:
+        raise RuntimeError("survivor rebuild failed")
+    surv_sig = index_signature(path_sv)
+
+    proc = _spawn("delete", corpus + "_base", path_d, n_docs, n_delta, cores)
+    del_kill_hit = False
+    # kill once the delete's generation dir exists but stats not yet flipped
+    del_glob = os.path.join(path_d, "gen-*")
+    while proc.poll() is None:
+        if glob.glob(del_glob):
+            if proc.poll() is None:
+                os.kill(proc.pid, signal.SIGKILL)
+                del_kill_hit = True
+            break
+        time.sleep(0.05)
+    proc.wait()
+    del_base_intact = (not del_kill_hit) or index_signature(path_d) == base_sig
+    if not del_kill_hit:
+        shutil.rmtree(path_d, ignore_errors=True)
+        shutil.copytree(path_b0, path_d)
+
+    t0 = time.time()
+    p = _spawn("delete", corpus + "_base", path_d, n_docs, n_delta, cores)
+    p.wait()
+    delete_sec = time.time() - t0
+    del_ok = p.returncode == 0
+    del_bytes = 0
+    try:
+        with open(os.path.join(path_d, "stats.json")) as fh:
+            dd = json.load(fh).get("deletes_dir")
+        with open(os.path.join(path_d, dd, "manifest.json")) as fh:
+            del_bytes = int(json.load(fh).get("bytes_written", 0))
+    except (OSError, TypeError):
+        pass
+
+    t0 = time.time()
+    p = _spawn("compact", "", path_d, n_docs, n_delta, cores)
+    p.wait()
+    del_compact_sec = time.time() - t0
+    deleted_identical = (
+        del_ok and p.returncode == 0 and index_signature(path_d) == surv_sig
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     return {
         "n_docs": n_docs,
@@ -337,6 +411,13 @@ def run_append_soak(
         "lsm_compact_sec": round(lsm_compact_sec, 2),
         "lsm_compacted_identical_to_rebuild": lsm_identical,
         "lsm_append_vs_rewrite": round(lsm_append_sec / append_sec, 3),
+        # --- doc-granular delete leg (10% of base tombstoned) ---
+        "delete_kill_hit": del_kill_hit,
+        "delete_base_intact_after_kill": del_base_intact,
+        "delete_sec": round(delete_sec, 2),
+        "delete_bytes_written": del_bytes,
+        "delete_compact_sec": round(del_compact_sec, 2),
+        "delete_compacted_identical_to_survivor_build": deleted_identical,
     }
 
 
@@ -348,7 +429,7 @@ def main() -> None:
     ap.add_argument(
         "--worker",
         choices=["corpus", "build", "append", "append_segment", "append_lsm",
-                 "compact"],
+                 "compact", "delete"],
     )
     ap.add_argument("--corpus")
     ap.add_argument("--path")
@@ -365,6 +446,9 @@ def main() -> None:
     if args.worker == "compact":
         _worker_compact(args)
         return
+    if args.worker == "delete":
+        _worker_delete(args)
+        return
     result = run_append_soak(args.docs, args.delta, args.cores)
     print(json.dumps(result))
     if not (
@@ -374,6 +458,8 @@ def main() -> None:
         and result["segment_compacted_identical_to_rebuild"]
         and result["lsm_base_intact_after_kill"]
         and result["lsm_compacted_identical_to_rebuild"]
+        and result["delete_base_intact_after_kill"]
+        and result["delete_compacted_identical_to_survivor_build"]
     ):
         sys.exit(1)
 
