@@ -1,0 +1,115 @@
+"""Maintenance-lifecycle fuzz: random sequences of appends (all three
+modes), doc-granular deletes, and compactions over an evolving corpus —
+the composed index must always serve rank-identical to exhaustive
+declarative BM25 over the CURRENT surviving corpus.
+
+This is the composition guarantee none of the per-op tests cover: stale
+bounds from one op ratio-adjusted by a later op, deletes surviving
+appends, lsm stacks over deleted bases, compaction mid-sequence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparkforward.append import append_to_index, compact_index, delete_docs
+from sparkforward.bm25 import bm25_topk
+from sparkforward.postings import build_inverted_index
+from sparkforward.wand import wand_topk
+
+CFG = dict(salt_threshold=10, n_salt=4, block_size=8, num_partitions=3,
+           target_shard_postings=20)
+WORDS = [f"w{i}" for i in range(30)]
+
+
+def _norm(df):
+    out = df.select("q_id", "id", "rank").toPandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_maintenance_lifecycle_fuzz(spark, tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path / "idx")
+
+    def mk_docs(lo, n):
+        return [
+            (int(lo + i),
+             " ".join(rng.choice(WORDS, size=int(rng.integers(4, 30)))))
+            for i in range(n)
+        ]
+
+    corpus: dict[int, str] = dict(mk_docs(0, int(rng.integers(50, 90))))
+    next_id = max(corpus) + 1
+    build_inverted_index(
+        spark.createDataFrame(list(corpus.items()), "doc_id long, text string"),
+        path, **CFG,
+    )
+    has_segments = False
+
+    def stats():
+        with open(os.path.join(path, "stats.json")) as fh:
+            return json.load(fh)
+
+    n_ops = int(rng.integers(4, 7))
+    history = ["build"]
+    for _ in range(n_ops):
+        choices = ["rewrite", "lsm", "compact"]
+        if stats().get("terms_layout") != "additive":
+            choices.append("segment")
+        if not has_segments and len(corpus) > 10:
+            choices += ["delete", "delete"]
+        op = rng.choice(choices)
+        history.append(str(op))
+        if op == "delete":
+            ids = sorted(
+                int(x) for x in rng.choice(
+                    sorted(corpus), size=int(rng.integers(1, len(corpus) // 3)),
+                    replace=False,
+                )
+            )
+            delete_docs(spark, path, ids)
+            for i in ids:
+                del corpus[i]
+        elif op == "compact":
+            compact_index(spark, path)
+            has_segments = False
+        else:
+            delta = dict(mk_docs(next_id, int(rng.integers(10, 40))))
+            next_id = max(delta) + 1
+            append_to_index(
+                spark, path,
+                spark.createDataFrame(
+                    list(delta.items()), "doc_id long, text string"
+                ),
+                num_partitions=3, mode=str(op),
+            )
+            corpus.update(delta)
+            has_segments = op in ("segment", "lsm")
+
+    idx = compact_index(spark, path) if rng.integers(2) else None
+    if idx is None:
+        from sparkforward.postings import PostingIndex
+
+        idx = PostingIndex.load(spark, path)
+        history.append("load")
+    else:
+        history.append("final-compact")
+
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    queries = [
+        (f"q{j}", " ".join(rng.choice(WORDS, size=int(rng.integers(1, 4)))))
+        for j in range(5)
+    ]
+    qdf = spark.createDataFrame(queries, "q_id string, query string")
+    expected = _norm(bm25_topk(docs, qdf, k=7))
+    for kw in ({}, {"taat_max_postings": 0}):
+        served = _norm(wand_topk(idx, qdf, k=7, **kw))
+        pd.testing.assert_frame_equal(served, expected), (seed, history, kw)
