@@ -294,12 +294,18 @@ def append_to_index(
     num_partitions: int | None = None,
     mode: str = "rewrite",
     max_segments: int | None = None,
+    extra_stats: dict | None = None,
 ) -> PostingIndex:
     """Append ``docs`` to the committed index at ``path``; return the
     reloaded index. Build configuration (block size, salting, bucket
     modulus) is pinned from the base ``stats.json`` — an append must shard
     and bucket exactly like the original build or resume/serve invariants
     break (cf. the n_buckets resume pin in postings.merge_partials).
+
+    ``extra_stats``: caller keys merged into the committed stats.json AT
+    THE FLIP — so a caller-side progress marker (e.g. a streaming
+    micro-batch id) commits atomically WITH the data it describes
+    (streaming.stream_ingest_lsm's exactly-once recipe).
 
     ``mode="rewrite"`` produces a single generation byte-identical to a
     scratch union build; ``mode="segment"`` stacks a segment holding only
@@ -580,6 +586,8 @@ def append_to_index(
             # rewrite: one complete generation, full union dictionary
             new_stats.pop("segments", None)
             new_stats.pop("terms_layout", None)
+        if extra_stats:
+            new_stats.update(extra_stats)
         _flip_stats(path, new_stats)
     finally:
         raw_partials.unpersist()

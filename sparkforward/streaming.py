@@ -384,3 +384,81 @@ def dedup_keep_first_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ingest_lsm(
+    pages: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+    checkpoint_dir: str | None = None,
+    max_segments: int = 8,
+    num_partitions: int | None = None,
+    **build_kwargs,
+):
+    """Continuously SERVABLE streaming ingestion: every micro-batch lands
+    as a Lucene-style LSM segment (``append.append_to_index(mode="lsm")``
+    — O(batch bytes) written, no base re-merge) behind the same atomic
+    stats flip, auto-compacting every ``max_segments`` batches.
+
+    Unlike :func:`stream_ingest` (stage-1 partials, servable only after a
+    compaction), the index at ``path`` is a complete, loadable
+    :class:`~sparkforward.postings.PostingIndex` after EVERY committed
+    micro-batch — the freshness/merge-cost trade a serving deployment
+    actually wants, with compaction amortized exactly like any LSM store.
+
+    Exactly-once: foreachBatch is at-least-once, so a crashed-and-replayed
+    micro-batch re-delivers the same ``batch_id``. The sink writes the
+    batch id INTO stats.json via the append's own atomic flip
+    (``extra_stats``) — data and progress marker commit together, and the
+    replay check (``batch_id <= stats.stream_batch_id``) makes redelivery
+    a no-op. A replayed batch can never half-apply: the flip is the only
+    commit point, and an uncommitted crashed append is wiped by the
+    retry's orphan sweep. Micro-batches must be id-monotone (crawl
+    streams are; the append raises otherwise, B2 contract).
+    """
+    from sparkforward.append import append_to_index
+    from sparkforward.postings import build_inverted_index
+
+    ckpt = checkpoint_dir or os.path.join(path, "_stream_checkpoint")
+    idx_path = os.path.join(path, "index")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stats_p = os.path.join(idx_path, "stats.json")
+        if not os.path.exists(stats_p):
+            if batch_df.isEmpty():
+                return
+            build_inverted_index(
+                batch_df, idx_path,
+                num_partitions=num_partitions, **build_kwargs,
+            )
+            # stamp the founding batch id (atomic tmp+rename, same recipe
+            # as the appender's flip)
+            from sparkforward.append import _flip_stats
+
+            with open(stats_p) as fh:
+                st = json.load(fh)
+            _flip_stats(idx_path, {**st, "stream_batch_id": int(batch_id)})
+            return
+        with open(stats_p) as fh:
+            committed = json.load(fh).get("stream_batch_id", -1)
+        if int(batch_id) <= int(committed):
+            return  # at-least-once replay of an already-committed batch
+        append_to_index(
+            spark, idx_path, batch_df,
+            id_col=id_col, text_col=text_col,
+            num_partitions=num_partitions, mode="lsm",
+            max_segments=max_segments,
+            extra_stats={"stream_batch_id": int(batch_id)},
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -113,3 +113,68 @@ def test_maintenance_lifecycle_fuzz(spark, tmp_path, seed):
     for kw in ({}, {"taat_max_postings": 0}):
         served = _norm(wand_topk(idx, qdf, k=7, **kw))
         pd.testing.assert_frame_equal(served, expected), (seed, history, kw)
+
+
+def test_stream_ingest_lsm_serves_like_batch_and_replay_is_noop(spark, tmp_path):
+    """Continuously-servable streaming ingestion: each id-ordered
+    micro-batch lands as an LSM segment behind the atomic stats flip; the
+    final stack serves rank-identical to a batch build of everything, and
+    re-delivering the whole stream (fresh checkpoint — every batch id
+    replayed) is a committed-marker no-op."""
+    import time as _time
+
+    from sparkforward.postings import PostingIndex, build_inverted_index
+    from sparkforward.streaming import stream_ingest_lsm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_dir = str(tmp_path / "src")
+    for lo in (0, 200, 400):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 200)
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _time.sleep(1.1)
+
+    cfg = dict(salt_threshold=300, n_salt=8, block_size=32,
+               target_shard_postings=80)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    path = str(tmp_path / "lsmstream")
+    q = stream_ingest_lsm(stream, path, num_partitions=4, **cfg)
+    q.awaitTermination(180)
+
+    idx_path = os.path.join(path, "index")
+    with open(os.path.join(idx_path, "stats.json")) as fh:
+        st = json.load(fh)
+    assert st["stream_batch_id"] == 2
+    assert len(st["segments"]) == 3  # base + two lsm segments
+
+    scratch = build_inverted_index(
+        docs, str(tmp_path / "batch"), num_partitions=4, **cfg
+    )
+    qdf = spark.createDataFrame(
+        [("q1", "the web pages"), ("q2", "content terms")],
+        "q_id string, query string",
+    )
+    idx = PostingIndex.load(spark, idx_path)
+    a = _norm(wand_topk(idx, qdf, k=10))
+    assert a.equals(_norm(wand_topk(scratch, qdf, k=10)))
+
+    # full re-delivery: fresh checkpoint re-reads every file as batches
+    # 0..2 — all at-or-below the committed marker, so the index is
+    # untouched (stats byte-identical, serve identical)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q2 = stream_ingest_lsm(
+        stream2, path, num_partitions=4,
+        checkpoint_dir=str(tmp_path / "ckpt2"), **cfg,
+    )
+    q2.awaitTermination(180)
+    with open(os.path.join(idx_path, "stats.json")) as fh:
+        assert json.load(fh) == st
+    assert _norm(wand_topk(PostingIndex.load(spark, idx_path), qdf, k=10)).equals(a)
