@@ -328,6 +328,72 @@ def main() -> None:
         "rows": int(n1024),
     }
 
+    # LSM maintenance probe (round 7): the serve-side read-fan-in cost of
+    # a 3-deep lsm segment stack (70/85/100% of the locality corpus) vs
+    # the same content compacted to one generation — the freshness/merge
+    # trade a serving deployment tunes with max_segments. Rows must equal
+    # the single-generation build's exactly (lossless composition).
+    from pyspark.sql import functions as F_
+
+    from sparkforward.append import append_to_index, compact_index
+
+    dcol = F_.col("doc_id").cast("long")
+    hi_loc = int(docs_loc.agg(F_.max(dcol)).collect()[0][0])
+    c1, c2 = hi_loc * 7 // 10, hi_loc * 17 // 20
+    lsm_path = tempfile.mkdtemp(prefix="sfwd_bench_lsmidx_")
+    build_inverted_index(
+        docs_loc.filter(dcol < c1), lsm_path,
+        salt_threshold=BUILD_DOCS // 10, n_salt=16,
+        num_partitions=max(CPUS * 2, 32),
+    )
+    t0 = time.perf_counter()
+    append_to_index(
+        spark, lsm_path, docs_loc.filter((dcol >= c1) & (dcol < c2)),
+        num_partitions=max(CPUS * 2, 32), mode="lsm",
+    )
+    append_to_index(
+        spark, lsm_path, docs_loc.filter(dcol >= c2),
+        num_partitions=max(CPUS * 2, 32), mode="lsm",
+    )
+    lsm_appends_sec = time.perf_counter() - t0
+    index_lsm = PostingIndex.load(spark, lsm_path).cache()
+    io_lsm: dict = {}
+    stack_rows = sorted(
+        (r["q_id"], r["id"], r["rank"], r["score"])
+        for r in wand_topk(index_lsm, prune_q, k=10, io_stats=io_lsm).collect()
+    )
+    assert stack_rows == base_loc, "lsm stack serve diverged from single-gen"
+    slat = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        wand_topk(index_lsm, prune_q, k=10).collect()
+        slat.append(time.perf_counter() - t0)
+    index_lsm.postings.unpersist()
+    index_lsm.terms.unpersist()
+    t0 = time.perf_counter()
+    compact_index(spark, lsm_path)
+    lsm_compact_sec = time.perf_counter() - t0
+    index_cmp = PostingIndex.load(spark, lsm_path).cache()
+    clat = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        wand_topk(index_cmp, prune_q, k=10).collect()
+        clat.append(time.perf_counter() - t0)
+    index_cmp.postings.unpersist()
+    index_cmp.terms.unpersist()
+    import shutil as _shutil
+
+    _shutil.rmtree(lsm_path, ignore_errors=True)
+    lsm_maintenance = {
+        "stack_depth": 3,
+        "lsm_appends_sec": round(lsm_appends_sec, 3),
+        "stack_serve_8q_sec": round(min(slat), 3),
+        "compacted_serve_8q_sec": round(min(clat), 3),
+        "stack_vs_compacted": round(min(slat) / max(min(clat), 1e-9), 2),
+        "stack_bytes_fraction": round(io_lsm.get("bytes_fraction", 1.0), 4),
+        "compact_sec": round(lsm_compact_sec, 3),
+    }
+
     # Training-data pipeline probe at 100k docs on the long-tail corpus
     # (reported outside the suite sum; round-3 addition). dedup_minhash is
     # deliberately absent: this synthetic corpus is near-duplicate-DENSE
@@ -601,6 +667,7 @@ def main() -> None:
             "pipeline_100k": pipeline_100k,
             "pipeline_1m": pipeline_1m,
             "bulk_serve": bulk_serve,
+            "lsm_maintenance": lsm_maintenance,
             "deep_rerank": deep,
         }
     )
