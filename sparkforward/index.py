@@ -216,6 +216,8 @@ class VectorIndex:
         """Open an on-disk index. Ref analogue: OnDiskIndex.load (disk.py:355-418).
 
         No ID-map rebuild: the mapping IS the table (joins replace hash maps).
+        A delete-tombstone sidecar (``delete_ids``) filters at load — the
+        vectors parquet is never rewritten by a delete.
         """
         with open(os.path.join(path, "manifest.json")) as fh:
             manifest = json.load(fh)
@@ -224,12 +226,86 @@ class VectorIndex:
             from sparkforward.quantize import deserialize_quantizer
 
             quantizer = deserialize_quantizer(manifest["quantizer"])
+        df = spark.read.parquet(os.path.join(path, "vectors"))
+        dd = manifest.get("deletes_dir")
+        if dd:
+            tomb = spark.read.parquet(os.path.join(path, dd))
+            df = df.join(
+                F.broadcast(tomb.select(F.col("doc_id").alias("_del"))),
+                df["doc_id"] == F.col("_del"),
+                "left_anti",
+            )
         return cls(
-            spark.read.parquet(os.path.join(path, "vectors")),
+            df,
             mode=Mode(manifest.get("mode", "passage")),
             quantizer=quantizer,
             path=path,
         )
+
+    def delete_ids(self, doc_ids) -> "VectorIndex":
+        """Doc-granular deletion — the dense-side twin of
+        ``append.delete_docs`` (the reference's vector store has no delete
+        either; this completes maintenance symmetry). Every id must exist
+        (the reference's missing-ID ``KeyError`` contract, S3); vectors
+        parquet is NOT rewritten — a persisted index records the
+        cumulative tombstone set in a new generation and flips the
+        manifest atomically; ``consolidate`` (or any rewrite) of the
+        filtered view physically drops the rows. The returned index's
+        DataFrame excludes the deleted docs, so gathers over them raise
+        exactly like gathers over never-indexed ids."""
+        ids = sorted({str(x) for x in (
+            [r[0] for r in doc_ids.collect()] if isinstance(doc_ids, DataFrame)
+            else doc_ids
+        )})
+        if not ids:
+            return self
+        present = {
+            r["doc_id"]
+            for r in self.df.filter(F.col("doc_id").isin(ids))
+            .select("doc_id").distinct().collect()
+        }
+        missing = [i for i in ids if i not in present]
+        if missing:
+            raise KeyError(
+                f"delete_ids: {len(missing)} ids not in the index "
+                f"(e.g. {missing[0]!r})"
+            )
+        filtered = self.df.filter(~F.col("doc_id").isin(ids))
+        if not self.path:
+            return VectorIndex(
+                filtered, mode=self.mode, quantizer=self.quantizer
+            )
+        spark = SparkSession.getActiveSession()
+        with open(os.path.join(self.path, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        old = manifest.get("deletes_dir")
+        gen = 1 + (int(old.split("-")[-1]) if old else 0)
+        new_dir = f"deletes-{gen}"
+        all_ids = ids if not old else sorted(
+            set(ids)
+            | {
+                r["doc_id"]
+                for r in spark.read.parquet(
+                    os.path.join(self.path, old)
+                ).collect()
+            }
+        )
+        spark.createDataFrame(
+            [(i,) for i in all_ids], "doc_id string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, new_dir)
+        )
+        tmp = os.path.join(self.path, ".manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({**manifest, "deletes_dir": new_dir}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        if old:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.path, old), ignore_errors=True)
+        return VectorIndex.load(spark, self.path)
 
     def cache(self) -> "VectorIndex":
         """In-memory index == cached DataFrame (ref: disk.py:177-205 to_memory)."""

@@ -176,3 +176,42 @@ def test_write_bucketed_layout_prunes_id_gathers(spark, tmp_path, doc_psg_index)
     scan = reloaded.df.filter(F.col("doc_id").isin(["d0"]))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "doc_id" in plan.split("PushedFilters")[1][:120]
+
+
+def test_delete_ids_tombstone_semantics(spark, doc_psg_index, doc_ranking, tmp_path):
+    """Dense-side doc deletion (round 7, maintenance symmetry with
+    append.delete_docs): tombstone sidecar — vectors parquet untouched;
+    loaded index excludes deleted docs; missing ids raise KeyError (the
+    reference's S3 missing-ID contract); deletes are cumulative; scoring
+    a run that still references a deleted doc raises like any unknown id."""
+    import glob
+
+    path = str(tmp_path / "idx")
+    idx = doc_psg_index.write(path)
+    vec_files = sorted(glob.glob(f"{path}/vectors/*.parquet"))
+
+    with pytest.raises(KeyError, match="not in the index"):
+        idx.delete_ids(["d1", "nope"])
+
+    idx2 = idx.delete_ids(["d1"])
+    assert idx2.doc_ids == {"d0", "d2", "d3"}
+    # vectors parquet untouched — the whole point of the tombstone design
+    assert sorted(glob.glob(f"{path}/vectors/*.parquet")) == vec_files
+    # a reload sees the committed tombstones
+    assert VectorIndex.load(spark, path).doc_ids == {"d0", "d2", "d3"}
+
+    # cumulative second delete; re-deleting a gone id raises
+    with pytest.raises(KeyError):
+        idx2.delete_ids(["d1"])
+    idx3 = idx2.delete_ids(["d3"])
+    assert idx3.doc_ids == {"d0", "d2"}
+    assert VectorIndex.load(spark, path).doc_ids == {"d0", "d2"}
+
+    # gathering a run that references deleted docs raises the missing-ID
+    # error exactly like never-indexed ids (S3 contract)
+    with pytest.raises(Exception, match="not found|[Mm]issing"):
+        ff_score(doc_ranking, idx3, encoder=ENCODER, mode=Mode.MAXP)
+
+    # in-memory (pathless) index: pure filtered view
+    mem = VectorIndex.empty(spark).add(VECTORS, doc_ids=DOC_IDS, psg_ids=PSG_IDS)
+    assert mem.delete_ids(["d0"]).doc_ids == {"d1", "d2", "d3"}
