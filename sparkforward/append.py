@@ -670,8 +670,31 @@ def delete_docs(
 
     root = index_data_root(path, stats)
     post = spark.read.parquet(os.path.join(root, "postings"))
-    lo, hi = int(new_ids[0]), int(new_ids[-1])
     dels = new_ids  # ships in the kernel closure (bounded)
+
+    # Push the tombstone id set into the SCAN as gap-merged intervals so
+    # blob bytes are only READ for blocks that can contain one — with
+    # scattered takedowns a coarse [min, max] range predicate would
+    # materialize nearly every blob just for the kernel to skip it. The
+    # intervals cap keeps the Catalyst predicate small; blocks between
+    # merged ids cost only the kernel's metadata precheck.
+    gaps = np.diff(new_ids)
+    max_intervals = 64
+    if len(gaps) >= max_intervals:
+        # keep the (max_intervals - 1) largest gaps as interval breaks
+        cut = np.sort(np.argsort(gaps)[-(max_intervals - 1):])
+        starts = np.concatenate(([0], cut + 1))
+        ends = np.concatenate((cut, [len(new_ids) - 1]))
+    else:
+        brk = np.nonzero(gaps > 1)[0]
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(new_ids) - 1]))
+    pred = None
+    for s_i, e_i in zip(starts, ends):
+        c = (F.col("last_doc") >= int(new_ids[s_i])) & (
+            F.col("first_doc") <= int(new_ids[e_i])
+        )
+        pred = c if pred is None else (pred | c)
 
     def find(it):
         for pdf in it:
@@ -700,7 +723,7 @@ def delete_docs(
             yield pd.DataFrame({"term": out_t, "doc": out_d, "dl": out_l})
 
     found = (
-        post.filter((F.col("last_doc") >= lo) & (F.col("first_doc") <= hi))
+        post.filter(pred)
         .select("term", "first_doc", "last_doc", "doc_blob", "dl_blob")
         .mapInPandas(find, schema="term string, doc long, dl long")
         .persist()
