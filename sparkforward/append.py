@@ -880,7 +880,11 @@ def compact_index(spark: SparkSession, path: str) -> PostingIndex:
                 terms_df.select("term", "df"), float(stats["n_docs"]), head
             )
     else:
-        head = {t: int(m) for t, m in (stats.get("head") or {}).items()}
+        # map-only path: pin the moduli the visible rows were ACTUALLY
+        # written under (pre-round-7 stacks have no stored head — derive
+        # it from the dictionary rather than pinning a wrong empty map,
+        # which would make a later lsm append reshard the whole head)
+        head = _stored_head(stats, terms_df)
         refreshed = visible.select(*_BLOCK_COLS).mapInPandas(
             _refresh_block_meta(float(stats["avgdl"])),
             schema=BLOCK_POSTING_SCHEMA,

@@ -275,7 +275,7 @@ class VectorIndex:
             return VectorIndex(
                 filtered, mode=self.mode, quantizer=self.quantizer
             )
-        spark = SparkSession.getActiveSession()
+        spark = self.df.sparkSession
         with open(os.path.join(self.path, "manifest.json")) as fh:
             manifest = json.load(fh)
         old = manifest.get("deletes_dir")
@@ -301,6 +301,14 @@ class VectorIndex:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.path, "manifest.json"))
+        # the rename must be ON DISK before the superseded generation is
+        # deleted, or a power loss could surface the old manifest pointing
+        # at a removed tombstone dir (same ordering as append._flip_stats)
+        dir_fd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
         if old:
             import shutil
 

@@ -1031,6 +1031,15 @@ def merge_salted(
                     {f.name: pd.Series(dtype=object) for f in BLOCK_POSTING_SCHEMA.fields}
                 )
         blocks = encode_posting_blocks(docs, tf_a, dl_a, avgdl, block_size)
+        if len(blocks) >= (1 << 24):
+            # the cross-segment renumbering (compose_segment_postings)
+            # packs block_no into the low 24 bits — fail LOUDLY instead
+            # of silently wrapping doc order at extreme shard sizes
+            raise ValueError(
+                f"shard ({term!r}, salt {salt}) produced {len(blocks)} "
+                "blocks >= 2^24 — raise target_shard_postings' n_salt "
+                "budget or block_size"
+            )
         nsh = head.get(term, 1)
         return pd.DataFrame(
             [{"term": term, "salt": int(salt), "n_shards": nsh, **b} for b in blocks]

@@ -975,6 +975,26 @@ PQ_M = 8        # subspaces (64-dim fixture -> dsub = 8)
 PQ_KS = 16      # codewords per subspace
 PQ_SEED = 42
 PQ_FIT_N = 256  # fit sample: embeddings with vec_id < PQ_FIT_N
+
+
+def _pq_fit_matrix(spark: SparkSession, sf_dir: str):
+    """The deterministic PQ/OPQ fit sample (embeddings with ``vec_id <
+    PQ_FIT_N``, ascending vec_id) as a float32 matrix — ONE definition so
+    every quantizer-bearing entry trains on the identical sample (the
+    oracles inline the fitted codebooks, so a drifted sample in any one
+    entry would silently break its row identity)."""
+    import numpy as np
+
+    rows = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_FIT_N)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+
+
 def _oracle_sf_dir() -> str:
     """Corpus the corpus-DEPENDENT oracles (PQ/OPQ codebook literals) fit
     on — the oracle inlines the fitted codebooks as SQL literals, and the
@@ -1060,16 +1080,7 @@ def q_quantized_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _require_oracle_corpus(sf_dir, "quantized_index")
     quant = _PQ_CACHE.get(sf_dir)
     if quant is None:
-        rows = (
-            load_embeddings(spark, sf_dir)
-            .filter(F.col("vec_id") < PQ_FIT_N)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        rows.sort(key=lambda r: r["vec_id"])
-        quant = _fitted_pq(
-            sf_dir, X=np.asarray([r["embedding"] for r in rows], dtype=np.float32)
-        )
+        quant = _fitted_pq(sf_dir, X=_pq_fit_matrix(spark, sf_dir))
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("vector")
     )
@@ -1203,16 +1214,7 @@ def q_opq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _require_oracle_corpus(sf_dir, "opq_index")
     quant = _OPQ_CACHE.get(sf_dir)
     if quant is None:
-        rows = (
-            load_embeddings(spark, sf_dir)
-            .filter(F.col("vec_id") < PQ_FIT_N)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        rows.sort(key=lambda r: r["vec_id"])
-        quant = _fitted_opq(
-            sf_dir, X=np.asarray([r["embedding"] for r in rows], dtype=np.float32)
-        )
+        quant = _fitted_opq(sf_dir, X=_pq_fit_matrix(spark, sf_dir))
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("vector")
     )
@@ -1441,16 +1443,7 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if quant is None:
         import numpy as np
 
-        rows = (
-            load_embeddings(spark, sf_dir)
-            .filter(F.col("vec_id") < PQ_FIT_N)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        rows.sort(key=lambda r: r["vec_id"])
-        quant = _fitted_pq(
-            sf_dir, X=np.asarray([r["embedding"] for r in rows], dtype=np.float32)
-        )
+        quant = _fitted_pq(sf_dir, X=_pq_fit_matrix(spark, sf_dir))
     emb = load_embeddings(spark, sf_dir)
     qmap = spark.createDataFrame(
         list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
@@ -1575,18 +1568,7 @@ def q_similarity_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if d is None:
         quant = _PQ_CACHE.get(sf_dir)
         if quant is None:
-            import numpy as np
-
-            rows = (
-                emb.filter(F.col("vec_id") < PQ_FIT_N)
-                .select("vec_id", "embedding")
-                .collect()
-            )
-            rows.sort(key=lambda r: r["vec_id"])
-            quant = _fitted_pq(
-                sf_dir,
-                X=np.asarray([r["embedding"] for r in rows], dtype=np.float32),
-            )
+            quant = _fitted_pq(sf_dir, X=_pq_fit_matrix(spark, sf_dir))
         d = tempfile.mkdtemp(prefix="sfwd_ivfpq_")
         write_ivfpq_index(
             emb, quant, d,
@@ -1636,18 +1618,7 @@ def q_similarity_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     if d is None:
         quant = _PQ_CACHE.get(sf_dir)
         if quant is None:
-            import numpy as np
-
-            rows = (
-                emb.filter(F.col("vec_id") < PQ_FIT_N)
-                .select("vec_id", "embedding")
-                .collect()
-            )
-            rows.sort(key=lambda r: r["vec_id"])
-            quant = _fitted_pq(
-                sf_dir,
-                X=np.asarray([r["embedding"] for r in rows], dtype=np.float32),
-            )
+            quant = _fitted_pq(sf_dir, X=_pq_fit_matrix(spark, sf_dir))
         hi = int(emb.agg(F.max("vec_id")).collect()[0][0])
         cut = hi * 4 // 5
         d = tempfile.mkdtemp(prefix="sfwd_ivfpqapp_")

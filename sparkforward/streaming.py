@@ -427,23 +427,38 @@ def stream_ingest_lsm(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         stats_p = os.path.join(idx_path, "stats.json")
-        if not os.path.exists(stats_p):
+        committed = None
+        if os.path.exists(stats_p):
+            try:
+                with open(stats_p) as fh:
+                    committed = json.load(fh).get("stream_batch_id")
+            except json.JSONDecodeError:
+                committed = None  # torn founding write — rebuild below
+        if committed is None:
+            # Founding commit. An existing-but-unstamped (or torn)
+            # stats.json means a PREVIOUS attempt of THIS batch crashed
+            # between the build and the stamp (only the founding batch
+            # ever writes an unstamped stats, and foreachBatch replays
+            # the failed batch before any other) — wipe and rebuild so
+            # the founding commit is idempotent end-to-end.
+            import shutil as _shutil
+
+            _shutil.rmtree(idx_path, ignore_errors=True)
             if batch_df.isEmpty():
                 return
             build_inverted_index(
                 batch_df, idx_path,
+                id_col=id_col, text_col=text_col,
                 num_partitions=num_partitions, **build_kwargs,
             )
-            # stamp the founding batch id (atomic tmp+rename, same recipe
-            # as the appender's flip)
+            # stamp the founding batch id (fsync'd atomic rename, same
+            # recipe as the appender's flip)
             from sparkforward.append import _flip_stats
 
             with open(stats_p) as fh:
                 st = json.load(fh)
             _flip_stats(idx_path, {**st, "stream_batch_id": int(batch_id)})
             return
-        with open(stats_p) as fh:
-            committed = json.load(fh).get("stream_batch_id", -1)
         if int(batch_id) <= int(committed):
             return  # at-least-once replay of an already-committed batch
         append_to_index(

@@ -204,19 +204,16 @@ def _repetition_stats_arrow(docs: DataFrame, text_col: str) -> DataFrame:
     quantize calls per doc, dwarfed by tokenize+factorize.
     """
     import re
-    from decimal import ROUND_HALF_UP, Decimal
 
     split_re = re.compile(SPLIT_PATTERN)
-    _Q6 = Decimal("0.000001")
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
-        def r6(x):
-            return float(
-                Decimal(repr(float(x))).quantize(_Q6, rounding=ROUND_HALF_UP)
-            )
+        # the ONE HALF_UP implementation every Arrow kernel shares — a
+        # divergent copy here would silently split from the DuckDB oracle
+        from sparkforward.similarity import _round_half_up6 as r6
 
         for pdf in batches:
             n = len(pdf)
