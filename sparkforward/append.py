@@ -630,8 +630,11 @@ def delete_docs(
     visible corpus (mirrors the reference's missing-ID raise, S3) and not
     be deleted already.
 
-    Requires a single-generation base (compact a segment stack first —
-    a real deployment batches takedowns on the compaction cadence).
+    Works on single-generation indexes AND term-granular segment stacks
+    (the scan runs over the composed visible rows; the compose's
+    avgdl-ratio bound adjustment tracks the moved stats automatically).
+    Only lsm (additive-dictionary) stacks must compact first — their
+    per-segment dictionary sum cannot absorb a full-union rewrite.
     """
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
@@ -640,11 +643,12 @@ def delete_docs(
             "delete_docs requires the block-granular layout; "
             f"index at {path} has layout={stats.get('layout')!r} — rebuild it"
         )
-    if stats.get("segments"):
+    if stats.get("terms_layout") == "additive":
         raise ValueError(
-            "delete_docs on a segment stack is unsupported — run "
-            "compact_index first (takedown batches ride the compaction "
-            "cadence)"
+            "delete_docs on an lsm (additive-dictionary) stack is "
+            "unsupported — run compact_index first (the additive "
+            "per-segment dictionary sum cannot absorb a full-union "
+            "rewrite; takedown batches ride the compaction cadence)"
         )
     if "sum_dl" not in stats:
         raise ValueError(
@@ -668,8 +672,13 @@ def delete_docs(
         if os.path.basename(d) not in referenced:
             shutil.rmtree(d, ignore_errors=True)
 
-    root = index_data_root(path, stats)
-    post = spark.read.parquet(os.path.join(root, "postings"))
+    # the VISIBLE posting rows: term-granular stacks compose with their
+    # tombstones applied (a doc's postings live in exactly one visible
+    # row per term), single generations read directly. Deleting from a
+    # stack needs no data rewrite either — serve-side masking is
+    # segment-agnostic, and the compose's avgdl-ratio bound adjustment
+    # (driven by stats.avgdl, which this commit moves) stays sound.
+    post = _visible_base(spark, path, stats)
     dels = new_ids  # ships in the kernel closure (bounded)
 
     # Push the tombstone id set into the SCAN as gap-merged intervals so

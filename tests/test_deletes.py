@@ -141,15 +141,38 @@ def test_append_after_delete_is_exact(spark, docs, tmp_path):
         assert _serve(spark, idx).equals(_serve(spark, scratch)), mode
 
 
-def test_delete_requires_single_generation(spark, docs, tmp_path):
+def test_delete_on_segment_stack_and_lsm_raise(spark, docs, tmp_path):
+    """Deletes compose with TERM-GRANULAR segment stacks directly (the
+    scan runs over the composed visible rows; the compose's avgdl-ratio
+    bound adjustment tracks the moved stats): serve == scratch build of
+    the survivors, and compaction physically drops the tombstones.
+    Additive (lsm) stacks still require a compaction first."""
     d = F.col("doc_id").cast("long")
     build_inverted_index(docs.filter(d < 400), str(tmp_path / "a"), **CFG)
     append_to_index(
         spark, str(tmp_path / "a"), docs.filter(d >= 400),
         num_partitions=4, mode="segment",
     )
+    idx = delete_docs(spark, str(tmp_path / "a"), _del_ids(docs, 7, 3))
+    survivors = docs.filter(d % 7 != 3)
+    scratch = build_inverted_index(survivors, str(tmp_path / "b"), **CFG)
+    assert _serve(spark, idx).equals(_serve(spark, scratch))
+    assert _serve(spark, idx, taat_max_postings=0).equals(
+        _serve(spark, scratch, taat_max_postings=0)
+    )
+    compact_index(spark, str(tmp_path / "a"))
+    assert index_signature(str(tmp_path / "a")) == index_signature(
+        str(tmp_path / "b")
+    )
+
+    # lsm stacks: additive dictionaries can't absorb a full-union rewrite
+    build_inverted_index(docs.filter(d < 400), str(tmp_path / "c"), **CFG)
+    append_to_index(
+        spark, str(tmp_path / "c"), docs.filter(d >= 400),
+        num_partitions=4, mode="lsm",
+    )
     with pytest.raises(ValueError, match="compact"):
-        delete_docs(spark, str(tmp_path / "a"), [5])
+        delete_docs(spark, str(tmp_path / "c"), [5])
 
 
 def test_delete_entire_term_then_compact(spark, tmp_path):

@@ -52,7 +52,6 @@ def test_maintenance_lifecycle_fuzz(spark, tmp_path, seed):
         spark.createDataFrame(list(corpus.items()), "doc_id long, text string"),
         path, **CFG,
     )
-    has_segments = False
 
     def stats():
         with open(os.path.join(path, "stats.json")) as fh:
@@ -62,9 +61,12 @@ def test_maintenance_lifecycle_fuzz(spark, tmp_path, seed):
     history = ["build"]
     for _ in range(n_ops):
         choices = ["rewrite", "lsm", "compact"]
-        if stats().get("terms_layout") != "additive":
+        additive = stats().get("terms_layout") == "additive"
+        if not additive:
             choices.append("segment")
-        if not has_segments and len(corpus) > 10:
+        # deletes compose with single generations AND term-granular
+        # stacks; only additive (lsm) stacks require a compact first
+        if not additive and len(corpus) > 10:
             choices += ["delete", "delete"]
         op = rng.choice(choices)
         history.append(str(op))
@@ -80,7 +82,6 @@ def test_maintenance_lifecycle_fuzz(spark, tmp_path, seed):
                 del corpus[i]
         elif op == "compact":
             compact_index(spark, path)
-            has_segments = False
         else:
             delta = dict(mk_docs(next_id, int(rng.integers(10, 40))))
             next_id = max(delta) + 1
@@ -92,7 +93,6 @@ def test_maintenance_lifecycle_fuzz(spark, tmp_path, seed):
                 num_partitions=3, mode=str(op),
             )
             corpus.update(delta)
-            has_segments = op in ("segment", "lsm")
 
     idx = compact_index(spark, path) if rng.integers(2) else None
     if idx is None:
