@@ -472,10 +472,9 @@ def append_to_index(
                 "term", "n", "doc_blob", "tf_blob", "dl_blob"
             ).unionByName(merged_input)
         salted = salt_partials(merged_input, head)
-        if num_partitions:
-            salted = salted.repartition(num_partitions, "term", "salt")
         touched_rows = merge_salted(
-            salted, head, avgdl, int(stats["block_size"])
+            salted, head, avgdl, int(stats["block_size"]),
+            num_partitions=num_partitions,
         )
 
         gen_no = _next_gen(stats)

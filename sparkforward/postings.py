@@ -996,17 +996,33 @@ def salt_partials(partials: DataFrame, head: dict[str, int]) -> DataFrame:
     )
 
 
+#: decoded-postings cap per merge chunk (3 int64 streams in flight); chunks
+#: split at group boundaries so every (term, salt) group still merges whole
+MERGE_CHUNK_POSTINGS = 8_000_000
+
+
 def merge_salted(
     salted: DataFrame,
     head: dict[str, int],
     avgdl: float,
     block_size: int,
     drop_docs: np.ndarray | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """k-way-merge each (term, salt) group's partial blobs into final
     BLOCK-granular posting rows. Shared by the batch builder and the
     incremental appender — byte-identity of appended indexes rests on both
     going through this exact kernel.
+
+    Clustering is done here (one hash exchange on (term, salt) + a
+    partition-local sort) and the merge runs as ``mapInPandas`` over whole
+    sorted partitions: every Arrow batch carries thousands of groups, the
+    three varbyte streams of a chunk decode in ONE call each, and only the
+    final block encode runs per group — instead of one Arrow batch and one
+    pandas DataFrame per (term, salt) group, whose fixed overhead dominated
+    the merge wall time at ~10^4 groups (guide §4: per-group plumbing, not
+    the numpy kernel, was the cost). Group encode is byte-identical:
+    :func:`encode_posting_blocks` on the same assembled arrays.
 
     ``drop_docs`` (sorted int64, bounded — the delete-tombstone sidecar):
     postings of these docs are dropped AFTER assembly, so a compaction of
@@ -1014,10 +1030,9 @@ def merge_salted(
     arrays a scratch build over the surviving corpus would see.
     """
     dels = drop_docs if drop_docs is not None and len(drop_docs) else None
+    out_cols = [f.name for f in BLOCK_POSTING_SCHEMA.fields]
 
-    def merge_groups(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, salt = keys
-        docs, tf_a, dl_a = assemble_partial_group(pdf)
+    def encode_group(term, salt, docs, tf_a, dl_a, out: dict[str, list]) -> None:
         if dels is not None:
             pos = np.searchsorted(dels, docs)
             hit = (pos < len(dels)) & (
@@ -1027,9 +1042,7 @@ def merge_salted(
                 keep = ~hit
                 docs, tf_a, dl_a = docs[keep], tf_a[keep], dl_a[keep]
             if len(docs) == 0:  # every posting of this shard was deleted
-                return pd.DataFrame(
-                    {f.name: pd.Series(dtype=object) for f in BLOCK_POSTING_SCHEMA.fields}
-                )
+                return
         blocks = encode_posting_blocks(docs, tf_a, dl_a, avgdl, block_size)
         if len(blocks) >= (1 << 24):
             # the cross-segment renumbering (compose_segment_postings)
@@ -1041,13 +1054,95 @@ def merge_salted(
                 "budget or block_size"
             )
         nsh = head.get(term, 1)
-        return pd.DataFrame(
-            [{"term": term, "salt": int(salt), "n_shards": nsh, **b} for b in blocks]
-        )
+        for b in blocks:
+            out["term"].append(term)
+            out["salt"].append(int(salt))
+            out["n_shards"].append(nsh)
+            for k, v in b.items():
+                out[k].append(v)
 
-    return salted.groupBy("term", "salt").applyInPandas(
-        merge_groups, schema=BLOCK_POSTING_SCHEMA
-    )
+    def process(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        """Merge every (contiguous, complete) group in ``pdf``."""
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        n_arr = pdf["n"].to_numpy(dtype=np.int64)
+        doc_col = pdf["doc_blob"].to_numpy()
+        tf_col = pdf["tf_blob"].to_numpy()
+        dl_col = pdf["dl_blob"].to_numpy()
+        # group start rows (term or salt changes)
+        change = np.ones(len(pdf), dtype=bool)
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        g_starts = np.flatnonzero(change)
+        g_ends = np.append(g_starts[1:], len(pdf))
+        # chunk groups so decoded streams stay bounded (split only between
+        # groups; a single oversized group still merges whole)
+        g_n = np.add.reduceat(n_arr, g_starts)
+        gi = 0
+        while gi < len(g_starts):
+            gj, tot = gi, 0
+            while gj < len(g_starts) and (
+                gj == gi or tot + g_n[gj] <= MERGE_CHUNK_POSTINGS
+            ):
+                tot += g_n[gj]
+                gj += 1
+            r0, r1 = int(g_starts[gi]), int(g_ends[gj - 1])
+            cn = n_arr[r0:r1]
+            # one decode per stream for the whole chunk (varbyte is
+            # self-delimiting); per-row delta restart undone by a
+            # segment-corrected cumsum — assemble_partial_group, batched
+            deltas = varbyte_decode(b"".join(bytes(b) for b in doc_col[r0:r1]))
+            tf_a = varbyte_decode(b"".join(bytes(b) for b in tf_col[r0:r1]))
+            dl_a = varbyte_decode(b"".join(bytes(b) for b in dl_col[r0:r1]))
+            cs = np.cumsum(deltas)
+            row_starts = np.concatenate(([0], np.cumsum(cn)[:-1]))
+            base = np.zeros(len(cn), dtype=np.int64)
+            base[1:] = cs[row_starts[1:] - 1]
+            docs = cs - np.repeat(base, cn)
+            # posting-span offset of each group within the chunk
+            p_off = np.concatenate(
+                ([0], np.cumsum(g_n[gi:gj]))
+            )
+            out: dict[str, list] = {c: [] for c in out_cols}
+            for k in range(gj - gi):
+                a, b = int(p_off[k]), int(p_off[k + 1])
+                r = int(g_starts[gi + k])
+                encode_group(
+                    terms[r], salts[r], docs[a:b], tf_a[a:b], dl_a[a:b], out
+                )
+            if out["term"]:
+                yield pd.DataFrame(out, columns=out_cols)
+            gi = gj
+
+    def merge_stream(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+        for pdf in it:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            pending = None
+            if not len(pdf):
+                continue
+            # hold back the trailing group — it may continue in the next
+            # Arrow batch of this partition
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            same = (terms == terms[-1]) & (salts == salts[-1])
+            rev = ~same[::-1]
+            run = int(np.argmax(rev)) if rev.any() else len(pdf)
+            cut = len(pdf) - run
+            pending = pdf.iloc[cut:]
+            if cut:
+                yield from process(pdf.iloc[:cut])
+        if pending is not None and len(pending):
+            yield from process(pending)
+
+    clustered = (
+        salted.repartition(num_partitions, "term", "salt")
+        if num_partitions
+        else salted.repartition("term", "salt")
+    ).sortWithinPartitions("term", "salt")
+    return clustered.select(
+        "term", "salt", "n", "doc_blob", "tf_blob", "dl_blob"
+    ).mapInPandas(merge_stream, schema=BLOCK_POSTING_SCHEMA)
 
 
 def attach_term_meta(df_stats: DataFrame, n_docs: float, head: dict[str, int]) -> DataFrame:
@@ -1102,7 +1197,10 @@ def merge_partials(
     """
     from sparkforward.checkpoint import completed_partitions, manifest_writer
 
-    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df"))
+    # persisted: the vocabulary-sized aggregate feeds BOTH the head-term
+    # collect and the terms-dictionary write — one pass over the partials
+    # instead of two (guide §2.4: share the exchange)
+    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df")).persist()
 
     # Adaptive shard count per head term (tiny driver map, shipped in the
     # splitter closure). Shard = doc_id % n_shards with n_shards a POWER OF
@@ -1120,8 +1218,6 @@ def merge_partials(
     )
 
     salted = salt_partials(partials, head)
-    if num_partitions:
-        salted = salted.repartition(num_partitions, "term", "salt")
 
     # Bucket count is the RECOVERY granularity, decoupled from shuffle
     # parallelism — fewer bucket dirs keep the (serial, driver-side) file
@@ -1178,7 +1274,9 @@ def merge_partials(
             if bucket_id not in done:
                 _shutil.rmtree(d, ignore_errors=True)
 
-    postings = merge_salted(salted, head, avgdl, block_size)
+    postings = merge_salted(
+        salted, head, avgdl, block_size, num_partitions=num_partitions
+    )
     # Resumable write: partition-by term-hash bucket; skip completed buckets.
     postings = postings.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
@@ -1202,6 +1300,7 @@ def merge_partials(
     # query's parallelism as max(n_shards) over ITS terms (wand.wand_topk)
     terms = attach_term_meta(df_stats, n_docs, head)
     terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    df_stats.unpersist()
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
