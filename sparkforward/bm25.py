@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkforward.ranking import Ranking
-from sparkforward.tokenize import term_frequencies
+from sparkforward.tokenize import spread_small_input, term_frequencies
 
 K1 = 1.2
 B = 0.75
@@ -44,13 +44,21 @@ SCORE_DECIMALS = 4
 
 
 def bm25_score_expr(tf="tf", df="df", dl="dl", n_docs="n_docs", avgdl="avgdl"):
-    """The per-(term, doc) BM25 contribution as a Column (float64)."""
+    """The per-(term, doc) BM25 contribution as a Column (float64).
+
+    Arguments may be column names or Columns (literals included) — the
+    expression tree and result are identical either way."""
+    from pyspark.sql import Column
+
+    def _c(x):
+        return x if isinstance(x, Column) else F.col(x)
+
     idf = F.log(
-        F.lit(1.0) + (F.col(n_docs) - F.col(df) + F.lit(0.5)) / (F.col(df) + F.lit(0.5))
+        F.lit(1.0) + (_c(n_docs) - _c(df) + F.lit(0.5)) / (_c(df) + F.lit(0.5))
     )
-    tf_d = F.col(tf).cast("double")
+    tf_d = _c(tf).cast("double")
     tf_norm = (tf_d * F.lit(K1 + 1.0)) / (
-        tf_d + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col(dl) / F.col(avgdl))
+        tf_d + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * _c(dl) / _c(avgdl))
     )
     return idf * tf_norm
 
@@ -80,6 +88,44 @@ def score_terms(
     )
 
 
+def _stats_for_terms(
+    tf: DataFrame, term_list: list[str]
+) -> tuple[float, float, dict[str, int]]:
+    """(n_docs, avgdl, {term: df}) in ONE aggregation job.
+
+    The per-query-term document frequencies and the corpus globals (from
+    the map-side stats pseudo-rows) come out of a single
+    ``groupBy(term)`` over the term-filtered tf cache — the old plan ran
+    each as its own broadcast-subtree aggregation (two exchanges, two
+    broadcast builds, ~6 AQE jobs per cold query). The collected values
+    feed the scorer as literals/local relations, which broadcast without
+    launching jobs. All arithmetic on the values stays in the JVM
+    expression unchanged, so scores are bit-identical.
+    """
+    from sparkforward.tokenize import STATS_TERM
+
+    rows = (
+        tf.filter(F.col("term").isin([*term_list, STATS_TERM]))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("s_tf"),
+            F.sum(F.col("dl").cast("bigint")).alias("s_dl"),
+        )
+        .collect()
+    )
+    n_docs, sum_dl = 0, 0
+    dfs: dict[str, int] = {}
+    for r in rows:
+        if r["term"] == STATS_TERM:
+            n_docs, sum_dl = int(r["s_tf"]), int(r["s_dl"])
+        else:
+            dfs[r["term"]] = int(r["df"])
+    # the identical double division corpus_globals performs
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
+    return float(n_docs), avgdl, dfs
+
+
 #: session-scoped tokenize-pass cache: (session, corpus plan hash, cols)
 #: -> persisted tf DataFrame. Two purposes: (a) within one query, tf feeds
 #: three subtrees (scores, df-stats, N/avgdl) and Catalyst does NOT dedupe
@@ -105,6 +151,7 @@ def _tf_persisted(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         hit = _TF_CACHE.get(sess, key)
         if hit is not None:
             return hit
+    docs = spread_small_input(docs)
     tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
     if key is not None:
         _TF_CACHE.put(sess, key, tf)
@@ -127,8 +174,6 @@ def bm25_scores(
     Summation per (q, d) uses float64; determinism across partitionings is
     guaranteed at SCORE_DECIMALS granularity (see module docstring).
     """
-    from sparkforward.tokenize import doc_lengths
-
     tf = _tf_persisted(docs, id_col, text_col)
     # The query set is tiny: tokenize it driver-side with the canonical rule
     # (identical semantics to tokenize.query_terms, minus one explode+
@@ -143,23 +188,30 @@ def bm25_scores(
             if t not in seen:
                 seen.add(t)
                 pairs.append((r["q_id"], t))
-    qt = queries.sparkSession.createDataFrame(
-        pairs, "q_id string, term string"
-    )
-    # Prune tf to QUERY terms before any statistics shuffle: df is only
-    # needed for terms that can contribute, so the groupBy('term') input is
-    # |matched postings| instead of |all postings|, and the broadcast df
-    # table is query-terms-sized instead of vocabulary-sized — at web scale
-    # the difference between broadcasting kilobytes and gigabytes.
-    # (N and avgdl still come from the FULL corpus, as the formula demands.)
+    # Prune tf to QUERY terms before any statistics work: df is only
+    # needed for terms that can contribute — at web scale the difference
+    # between aggregating kilobytes and gigabytes. (N and avgdl still
+    # come from the FULL corpus via the map-side stats rows.) One collect
+    # returns df-per-term + N + avgdl; the scorer then joins a LOCAL
+    # (q_id, term, df) relation (broadcast without a build job) and takes
+    # the globals as literals — same JVM expression, one aggregation job
+    # instead of two broadcast-subtree exchanges.
     term_list = sorted({t for _, t in pairs})
+    n_docs, avgdl, dfs = _stats_for_terms(tf, term_list)
+    qt_rows = [(q, t, dfs[t]) for q, t in pairs if t in dfs]
+    spark = queries.sparkSession
+    qt = spark.createDataFrame(qt_rows, "q_id string, term string, df long")
     tf_q = tf.filter(F.col("term").isin(term_list))
-    df_stats = tf_q.groupBy("term").agg(F.count("*").alias("df"))
-    global_stats = doc_lengths(tf).agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    contribs = (
+        tf_q.join(F.broadcast(qt), "term")
+        .select(
+            "q_id",
+            "doc_id",
+            bm25_score_expr(
+                n_docs=F.lit(float(n_docs)), avgdl=F.lit(float(avgdl))
+            ).alias("contrib"),
+        )
     )
-    contribs = score_terms(tf_q, df_stats, global_stats, qt)
     return contribs.groupBy("q_id", "doc_id").agg(F.sum("contrib").alias("score"))
 
 
@@ -232,7 +284,7 @@ def bm25_rm3_topk(
     """
     from pyspark.sql import Window
 
-    from sparkforward.tokenize import doc_lengths, tokenize
+    from sparkforward.tokenize import tokenize
 
     spark = queries.sparkSession
     tf = _tf_persisted(docs, id_col, text_col)
@@ -245,21 +297,30 @@ def bm25_rm3_topk(
                 seen.add(t)
                 pairs.append((r["q_id"], t))
     qt = spark.createDataFrame(pairs, "q_id string, term string")
-    global_stats = doc_lengths(tf).agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
 
-    def score_pairs(pairs_df: DataFrame, term_list: list[str]) -> DataFrame:
-        tf_q = tf.filter(F.col("term").isin(term_list))
-        df_stats = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    def score_pairs(pair_rows: list[tuple[str, str]], term_list: list[str]) -> DataFrame:
+        # one stats collect, then literal globals + a local (q_id, term,
+        # df) relation — the same restructure as bm25_scores
+        n_docs, avgdl, dfs = _stats_for_terms(tf, term_list)
+        qt_df = spark.createDataFrame(
+            [(q, t, dfs[t]) for q, t in pair_rows if t in dfs],
+            "q_id string, term string, df long",
+        )
         return (
-            score_terms(tf_q, df_stats, global_stats, pairs_df)
+            tf.filter(F.col("term").isin(term_list))
+            .join(F.broadcast(qt_df), "term")
+            .select(
+                "q_id",
+                "doc_id",
+                bm25_score_expr(
+                    n_docs=F.lit(float(n_docs)), avgdl=F.lit(float(avgdl))
+                ).alias("contrib"),
+            )
             .groupBy("q_id", "doc_id")
             .agg(F.sum("contrib").alias("score"))
         )
 
-    base = score_pairs(qt, sorted({t for _, t in pairs}))
+    base = score_pairs(pairs, sorted({t for _, t in pairs}))
     w_fb = Window.partitionBy("q_id").orderBy(
         F.desc(F.round("score", SCORE_DECIMALS)),
         F.asc(F.col("doc_id").cast("bigint")),
@@ -289,8 +350,7 @@ def bm25_rm3_topk(
         "q_id", "doc_id", F.round("score", SCORE_DECIMALS).alias("b")
     )
     if exp_rows:
-        qt2 = spark.createDataFrame(exp_rows, "q_id string, term string")
-        exp_sc = score_pairs(qt2, sorted({t for _, t in exp_rows})).select(
+        exp_sc = score_pairs(exp_rows, sorted({t for _, t in exp_rows})).select(
             "q_id", "doc_id", F.round("score", SCORE_DECIMALS).alias("e")
         )
         merged = base_r.join(exp_sc, ["q_id", "doc_id"], "full_outer").select(

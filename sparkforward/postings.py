@@ -851,7 +851,11 @@ def build_inverted_index(
     checkpoint manifest (per-partition lineage + metrics, checkpoint.py).
     """
     spark = docs.sparkSession
-    raw_partials = _build_partials(docs, id_col, text_col).persist()
+    from sparkforward.tokenize import spread_small_input
+
+    raw_partials = _build_partials(
+        spread_small_input(docs), id_col, text_col
+    ).persist()
     partials = raw_partials.filter(F.col("term") != STATS_TERM)
 
     # all statistics come from the partials — the corpus is scanned once

@@ -199,7 +199,16 @@ def release_caches() -> None:
 
 
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, doc_id:bigint, score:double rounded, rank) — full BM25 ranking."""
+    """(q_id, doc_id:bigint, score:double rounded, rank) — BM25 ranking,
+    cut to the first-stage candidate depth ``rank <= K_CAND``.
+
+    Every consumer filters to ``rank <= K_CAND`` or shallower, so capping
+    the cached frame is result-identical — and the ``rank <= K`` filter
+    directly over ``row_number`` lets Spark insert a WindowGroupLimit:
+    each partition pre-selects its per-query top-K before the exchange,
+    so the window sort and the persisted cache hold K x |queries| rows
+    instead of |scored corpus| x |queries| (guide §2.3 — shuffle fewer
+    bytes; the dominant term at web scale)."""
     hit = _RANKED_CACHE.get(spark, (sf_dir,))
     if hit is not None:
         return hit
@@ -212,6 +221,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores.withColumn("score", F.round("score", SCORE_DECIMALS))
         .withColumn("doc_id", F.col("doc_id").cast("bigint"))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K_CAND)
     ).persist()
     _RANKED_CACHE.put(spark, (sf_dir,), out)
     return out

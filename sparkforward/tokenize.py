@@ -31,6 +31,13 @@ TOKEN_RE = re.compile(r"[a-z0-9]+")
 #: the same rule as a split pattern (Spark SQL / DuckDB oracle side)
 SPLIT_PATTERN = "[^a-z0-9]+"
 
+#: reserved pseudo-term for map-side corpus-stats rows riding in the tf
+#: frame — "\x00" is unreachable for the tokenizer ([a-z0-9]+ only), so it
+#: can never collide with a real term (same convention as postings.py)
+STATS_TERM = "\x00stats"
+#: flush a stats row before a chunk's token sum could overflow int32
+_STATS_MAX_DL = 1 << 30
+
 def _tf_schema(id_type: T.DataType) -> T.StructType:
     """tf schema preserving the corpus id type (integral ids stay integral —
     a 26M-row shuffle of long ids is far cheaper than strings)."""
@@ -49,6 +56,22 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+def spread_small_input(docs: DataFrame) -> DataFrame:
+    """Round-robin-spread a corpus whose scan has far fewer partitions than
+    the cluster has cores (e.g. one small parquet file), so the tokenize
+    pass parallelizes instead of running one task. A no-op whenever the
+    scan already carries at least half the core count — at real scale the
+    input always does, so no shuffle is ever added there (guide §2.5,
+    input-side parallelism)."""
+    try:
+        cores = docs.sparkSession.sparkContext.defaultParallelism
+        if cores > 1 and docs.rdd.getNumPartitions() * 2 <= cores:
+            return docs.repartition(cores)
+    except Exception:  # noqa: BLE001 — exotic plans: keep the input as-is
+        pass
+    return docs
+
+
 def term_frequencies(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -58,26 +81,50 @@ def term_frequencies(
     doc so downstream BM25 needs no extra join. Documents with zero tokens
     produce no rows (consistently excluded from N/avgdl). The id column's
     type is preserved (integral ids shuffle much cheaper than strings).
+
+    Each Arrow batch additionally emits one pseudo-row
+    ``(doc_id=NULL, term=STATS_TERM, tf=<docs in chunk>, dl=<token sum>)``
+    so corpus-level N/avgdl aggregate from a handful of stats rows instead
+    of a corpus-wide ``groupBy(doc_id)`` shuffle (guide §2.3: aggregate
+    map-side before shuffling). Real-term consumers never see the rows —
+    the pseudo-term cannot match any tokenized term, and its NULL doc_id
+    drops out of every doc-keyed join; :func:`doc_lengths` filters it.
     """
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     schema = _tf_schema(src.schema["doc_id"].dataType)
 
     def tf_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids: list[str] = []
+            ids: list = []
             terms: list[str] = []
             tfs: list[int] = []
             dls: list[int] = []
+            n_docs = 0
+            sum_dl = 0
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = tokenize(text or "")
                 if not toks:
                     continue
                 counts = Counter(toks)
                 dl = len(toks)
+                if sum_dl + dl >= _STATS_MAX_DL:
+                    ids.append(None)
+                    terms.append(STATS_TERM)
+                    tfs.append(n_docs)
+                    dls.append(sum_dl)
+                    n_docs = 0
+                    sum_dl = 0
+                n_docs += 1
+                sum_dl += dl
                 ids.extend([doc_id] * len(counts))
                 terms.extend(counts.keys())
                 tfs.extend(counts.values())
                 dls.extend([dl] * len(counts))
+            if n_docs:
+                ids.append(None)
+                terms.append(STATS_TERM)
+                tfs.append(n_docs)
+                dls.append(sum_dl)
             yield pd.DataFrame(
                 {"doc_id": ids, "term": terms, "tf": tfs, "dl": dls}
             )
@@ -85,9 +132,28 @@ def term_frequencies(
     return src.mapInPandas(tf_batches, schema=schema)
 
 
+def corpus_globals(tf: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) from the map-side stats pseudo-rows.
+
+    Exact: chunk doc counts and token sums are integers, so the aggregate
+    equals the old ``doc_lengths(tf).agg(count, avg)`` bit-for-bit (Spark's
+    integral avg is the same exact-long-sum / count double division) —
+    without shuffling one row per document.
+    """
+    return tf.filter(F.col("term") == STATS_TERM).agg(
+        F.sum("tf").cast("double").alias("n_docs"),
+        (F.sum(F.col("dl").cast("bigint")).cast("double")
+         / F.sum("tf").cast("double")).alias("avgdl"),
+    )
+
+
 def doc_lengths(tf: DataFrame) -> DataFrame:
     """(doc_id, dl) from a term-frequency frame (no extra scan of the corpus)."""
-    return tf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    return (
+        tf.filter(F.col("term") != STATS_TERM)
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+    )
 
 
 def corpus_stats(tf: DataFrame) -> tuple[DataFrame, DataFrame]:
