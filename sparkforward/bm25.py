@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkforward.ranking import Ranking
-from sparkforward.tokenize import spread_small_input, term_frequencies
+from sparkforward.tokenize import term_frequencies
 
 K1 = 1.2
 B = 0.75
@@ -151,7 +151,6 @@ def _tf_persisted(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         hit = _TF_CACHE.get(sess, key)
         if hit is not None:
             return hit
-    docs = spread_small_input(docs)
     tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
     if key is not None:
         _TF_CACHE.put(sess, key, tf)

@@ -58,7 +58,13 @@ ES_DEPTHS = (25, K_CAND)  # early-stopping depth schedule (serving config)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Corpus table, spread to core-count parallelism when the fixture is a
+    single small parquet file (one scan partition would otherwise serialize
+    every per-row text kernel on one task; a no-op for any real multi-file
+    corpus — tokenize.spread_small_input)."""
+    from sparkforward.tokenize import spread_small_input
+
+    return spread_small_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,8 +72,17 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries_df(spark: SparkSession, subset: list[str] | None = None) -> DataFrame:
+    """Fixed-query-set local relation, memoized per (session, subset) —
+    repeated entries otherwise pay a fresh createDataFrame conversion each
+    call (a few hundred ms of py4j per query at fixture scale)."""
+    key = (tuple(subset) if subset is not None else None,)
+    hit = _QUERIES_DF_CACHE.get(spark, key)
+    if hit is not None:
+        return hit
     rows = [(q, t) for q, t in QUERY_SET if subset is None or q in subset]
-    return spark.createDataFrame(rows, "q_id string, query string")
+    df = spark.createDataFrame(rows, "q_id string, query string")
+    _QUERIES_DF_CACHE.put(spark, key, df)
+    return df
 
 
 # ------------------------------------------------------------ SQL helpers #
@@ -131,6 +146,8 @@ def _bm25_ctes(subset: list[str] | None = None, source: str = "documents") -> st
 from sparkforward.session import SessionScopedCache, is_alive  # noqa: E402
 
 _RANKED_CACHE = SessionScopedCache()
+#: (session, subset) -> fixed-query-set local relation (see queries_df)
+_QUERIES_DF_CACHE = SessionScopedCache()
 
 
 class _IndexDirCache(SessionScopedCache):

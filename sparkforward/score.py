@@ -240,7 +240,7 @@ def _release_persistent_rdds(spark: SparkSession, ids: set[int]) -> None:
 
 def _early_stopping_driver(
     spark: SparkSession,
-    ranked: DataFrame,
+    ranked: list,  # collected (q_id, id, score, rank) rows
     index: VectorIndex,
     qvec_df: DataFrame,
     cutoff: int,
@@ -260,10 +260,7 @@ def _early_stopping_driver(
     import heapq
 
     depth_list = [b for b in sorted({int(d) for d in depths}) if b >= cutoff]
-    cand = sorted(
-        ranked.select("q_id", "id", "score", "rank").collect(),
-        key=lambda r: (r["q_id"], r["rank"]),
-    )
+    cand = sorted(ranked, key=lambda r: (r["q_id"], r["rank"]))
     qvecs = {
         r["q_id"]: np.asarray(r["q_vector"], dtype=np.float64)
         for r in qvec_df.collect()
@@ -398,24 +395,34 @@ def early_stopping_scores(
     spark = SparkSession.getActiveSession()
     qvec_df = _query_vectors_df(spark, ranking, encoder, query_vectors)
     pre_ids = _persistent_rdd_ids(spark)
-
-    # Precompute the per-query rank once (score desc, id asc — ranking.py).
-    # localCheckpoint (not cache): caching short-circuits EXECUTION but every
-    # depth's action would still re-analyze the candidate ranking's full
-    # logical plan (first-stage BM25 lineage) — Catalyst planning time, not
-    # compute, dominated the loop. Checkpointing truncates the plan so each
-    # depth plans against a shallow in-memory scan.
-    ranked = add_ranks(ranking.df).localCheckpoint(eager=True)
     mode = mode or index.mode
 
-    if ranked.count() <= driver_threshold:
-        result = _early_stopping_driver(
-            spark, ranked, index, qvec_df, cutoff, alpha, depths, mode, decimals
+    # Serving-mode dispatch probe: ONE limit-collect both decides the
+    # strategy and, when the candidate set is driver-sized, already holds
+    # every row the driver loop needs — replacing the old checkpoint job +
+    # count job + collect job with a single action (the checkpoint's
+    # plan-truncation purpose only matters for the per-depth actions of
+    # batch mode below).
+    ranked_plan = add_ranks(ranking.df)
+    if driver_threshold and driver_threshold > 0:
+        probe = (
+            ranked_plan.select("q_id", "id", "score", "rank")
+            .limit(int(driver_threshold) + 1)
+            .collect()
         )
-        # the driver loop collected everything it needs; the rank
-        # checkpoint (and anything else this call pinned) can go
-        _release_persistent_rdds(spark, _persistent_rdd_ids(spark) - pre_ids)
-        return result
+        if len(probe) <= driver_threshold:
+            return _early_stopping_driver(
+                spark, probe, index, qvec_df, cutoff, alpha, depths, mode,
+                decimals,
+            )
+
+    # Batch mode. localCheckpoint (not cache): caching short-circuits
+    # EXECUTION but every depth's action would still re-analyze the
+    # candidate ranking's full logical plan (first-stage BM25 lineage) —
+    # Catalyst planning time, not compute, dominated the loop.
+    # Checkpointing truncates the plan so each depth plans against a
+    # shallow in-memory scan.
+    ranked = ranked_plan.localCheckpoint(eager=True)
 
     import heapq
 

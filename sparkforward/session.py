@@ -47,7 +47,31 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _prewarm_python_workers(spark, cores)
+    return spark
+
+
+def _prewarm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Fork the per-core Python worker pool once, at session build.
+
+    The first Python-evaluated stage otherwise pays ``cores`` concurrent
+    worker cold-starts (fork + pandas/pyarrow import) inside whatever
+    query happens to run first — serving latency noise, not engine work.
+    Workers are reused afterwards (``spark.python.worker.reuse`` default),
+    so this is a one-time cost moved to session creation. Idempotent per
+    session."""
+    if getattr(spark, "_sfwd_prewarmed", False):
+        return
+    try:
+        (
+            spark.range(0, cores, 1, cores)
+            .mapInPandas(lambda it: it, schema="id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:  # noqa: BLE001 — never fail session creation over this
+        pass
+    spark._sfwd_prewarmed = True
 
 
 def is_alive(session: SparkSession) -> bool:

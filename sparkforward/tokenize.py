@@ -17,6 +17,7 @@ delegates to PyTerrier — ``docs/pyterrier.md:6-10``). Design for 100 TB:
 
 from __future__ import annotations
 
+import os
 import re
 from collections import Counter
 from collections.abc import Iterator
@@ -57,15 +58,39 @@ def tokenize(text: str) -> list[str]:
 
 
 def spread_small_input(docs: DataFrame) -> DataFrame:
-    """Round-robin-spread a corpus whose scan has far fewer partitions than
-    the cluster has cores (e.g. one small parquet file), so the tokenize
-    pass parallelizes instead of running one task. A no-op whenever the
-    scan already carries at least half the core count — at real scale the
-    input always does, so no shuffle is ever added there (guide §2.5,
-    input-side parallelism)."""
+    """Round-robin-spread a corpus whose scan would yield far fewer tasks
+    than the cluster has cores (e.g. one small parquet file), so per-row
+    text kernels parallelize instead of running on one task.
+
+    The decision reads ONLY the local file layout (``inputFiles`` + stat) —
+    no ``.rdd`` conversion, no job. A no-op whenever the scan already
+    splits to at least half the core count, for non-file-backed plans, and
+    for remote storage — at real scale the input always splits enough, so
+    no shuffle is ever added there (guide §2.5, input-side parallelism)."""
     try:
-        cores = docs.sparkSession.sparkContext.defaultParallelism
-        if cores > 1 and docs.rdd.getNumPartitions() * 2 <= cores:
+        from urllib.parse import unquote, urlparse
+
+        sess = docs.sparkSession
+        cores = sess.sparkContext.defaultParallelism
+        if cores <= 1:
+            return docs
+        files = docs.inputFiles()
+        if not files or len(files) * 2 >= cores:
+            return docs
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                return docs  # remote storage: let the scan split
+            total += os.stat(unquote(p.path)).st_size
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        s = raw.strip().lower().removesuffix("b")
+        units = {"k": 10, "m": 20, "g": 30, "t": 40}
+        max_split = (
+            int(s[:-1]) << units[s[-1]] if s and s[-1] in units else int(s)
+        )
+        n_splits = max(len(files), -(-total // max_split))
+        if n_splits * 2 <= cores:
             return docs.repartition(cores)
     except Exception:  # noqa: BLE001 — exotic plans: keep the input as-is
         pass
