@@ -210,6 +210,9 @@ def release_caches() -> None:
     from sparkforward import bm25
 
     _RANKED_CACHE.release()
+    _DENSE_CACHE.release()
+    _QVEC_CACHE.release()
+    _QUERIES_DF_CACHE.release()
     _WAND_INDEX_CACHE.release()
     _TREC_DIR_CACHE.release()
     bm25.release_caches()
@@ -252,13 +255,7 @@ def _dense_scores(
     from sparkforward.score import dot_expr
 
     emb = load_embeddings(spark, sf_dir)
-    qvec_map = qvec_map or QVEC_ID
-    qvec_rows = [(q, v) for q, v in qvec_map.items()]
-    qmap = spark.createDataFrame(qvec_rows, "q_id string, qvec_id long")
-    qvecs = (
-        qmap.join(emb, qmap.qvec_id == emb.vec_id)
-        .select("q_id", F.col("embedding").alias("q_vector"))
-    )
+    qvecs = _local_qvec_df(spark, sf_dir, qvec_map or QVEC_ID)
     return (
         candidates.join(emb, candidates.doc_id == emb.vec_id)
         .join(F.broadcast(qvecs), "q_id")
@@ -704,6 +701,21 @@ FROM cand CROSS JOIN extrema
 """
 
 
+#: (session, sf_dir) -> persisted dense scores of the default candidate set
+#: (shared by interpolate_rerank and rr_fusion — one gather, two consumers)
+_DENSE_CACHE = SessionScopedCache()
+
+
+def _dense_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = _DENSE_CACHE.get(spark, (sf_dir,))
+    if hit is not None:
+        return hit
+    cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
+    out = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id")).persist()
+    _DENSE_CACHE.put(spark, (sf_dir,), out)
+    return out
+
+
 def q_interpolate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: BM25 top-100 -> FF dense lookup -> alpha-interpolation.
 
@@ -711,7 +723,7 @@ def q_interpolate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference docs/pyterrier.md:10, ranking.py:293-326).
     """
     cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
-    dense = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id"))
+    dense = _dense_default(spark, sf_dir)
     final = (
         cand.join(dense, ["q_id", "doc_id"])
         .withColumn(
@@ -755,7 +767,7 @@ SELECT q_id, CAST(doc_id AS VARCHAR) AS id, rank, score_int FROM rr WHERE rank <
 def q_rr_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of BM25 and dense rankings (ref ranking.py:328-346 + __add__)."""
     cand = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= K_CAND)
-    dense = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id"))
+    dense = _dense_default(spark, sf_dir)
     wd = Window.partitionBy("q_id").orderBy(F.desc("dense"), F.asc("doc_id"))
     dense_ranked = dense.withColumn("rank_d", F.row_number().over(wd))
     fused = (
@@ -835,13 +847,7 @@ def _psg_mode_query(
     cand = ranked.filter(
         F.col("q_id").isin(MODE_QUERY_IDS) & (F.col("rank") <= K_CAND)
     ).select("q_id", F.col("doc_id").cast("string").alias("id"))
-    emb = load_embeddings(spark, sf_dir)
-    qmap = spark.createDataFrame(
-        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
-    )
-    qvec_df = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
-        "q_id", F.col("embedding").alias("q_vector")
-    )
+    qvec_df = _local_qvec_df(spark, sf_dir, MODE_QVEC_ID)
     if index is None:
         index = _psg_vector_index(spark, sf_dir, mode)
     # check_missing=False: BM25 candidates without a passage row drop with
@@ -947,13 +953,7 @@ def q_mode_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(psg_map, "doc_id")
         .select("q_id", F.col("psg_id").alias("id"))
     )
-    emb = load_embeddings(spark, sf_dir)
-    qmap = spark.createDataFrame(
-        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
-    )
-    qvec_df = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
-        "q_id", F.col("embedding").alias("q_vector")
-    )
+    qvec_df = _local_qvec_df(spark, sf_dir, MODE_QVEC_ID)
     ff = compute_scores(
         cand, index, qvec_df, mode=Mode.PASSAGE, check_missing=False,
         broadcast_candidates=True,
@@ -1678,12 +1678,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.similarity import cosine_topk
 
     emb = load_embeddings(spark, sf_dir)
-    qmap = spark.createDataFrame(
-        list(MODE_QVEC_ID.items()), "q_id string, qvec_id long"
-    )
-    qvecs = qmap.join(emb, qmap.qvec_id == emb.vec_id).select(
-        "q_id", F.col("embedding").alias("q_vector")
-    )
+    qvecs = _local_qvec_df(spark, sf_dir, MODE_QVEC_ID)
     return cosine_topk(emb, qvecs, k=K_FINAL)
 
 
@@ -2562,11 +2557,35 @@ SELECT q_id, CAST(doc_id AS VARCHAR) AS id,
 """
 
 
+#: (session, sf_dir, mapping) -> {q_id: [float]} — collected once, reused by
+#: every dense entry (each collect was a full embeddings-scan job)
+_QVEC_CACHE = SessionScopedCache()
+
+
 def _collect_qvecs(spark, sf_dir, mapping) -> dict[str, list[float]]:
+    key = (sf_dir, tuple(sorted(mapping.items())))
+    hit = _QVEC_CACHE.get(spark, key)
+    if hit is not None:
+        return hit
     emb = load_embeddings(spark, sf_dir)
     ids = list(mapping.values())
     rows = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id").isin(ids)).collect()}
-    return {q: rows[v] for q, v in mapping.items()}
+    out = {q: rows[v] for q, v in mapping.items()}
+    _QVEC_CACHE.put(spark, key, out)
+    return out
+
+
+def _local_qvec_df(spark, sf_dir, mapping) -> DataFrame:
+    """(q_id, q_vector:array<float>) as a LOCAL relation from the memoized
+    qvec collect — broadcasting it launches no job, unlike the old
+    qmap ⋈ embeddings subtree that re-scanned the embeddings table inside
+    every dense entry's plan. float32 values round-trip exactly through
+    the driver, so downstream dot products are bit-identical."""
+    qv = _collect_qvecs(spark, sf_dir, mapping)
+    return spark.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in qv.items()],
+        "q_id string, q_vector array<float>",
+    )
 
 
 def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
