@@ -858,23 +858,35 @@ def build_inverted_index(
     ).persist()
     partials = raw_partials.filter(F.col("term") != STATS_TERM)
 
-    # all statistics come from the partials — the corpus is scanned once
-    g = (
-        raw_partials.filter(F.col("term") == STATS_TERM)
-        .agg(
-            F.sum("n").cast("double").alias("n_docs"),
-            (F.sum("sum_dl").cast("double") / F.sum("n")).alias("avgdl"),
-            F.sum("sum_dl").alias("sum_dl"),
+    # all statistics come from the partials — the corpus is scanned once.
+    # ONE aggregation job returns both the corpus globals (the STATS_TERM
+    # pseudo-row: sum n = n_docs, sum sum_dl = token total) and the
+    # above-threshold head terms for the salting map — previously two
+    # separate jobs over the cached partials.
+    agg_rows = (
+        raw_partials.groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_dl").alias("sdl"))
+        .filter(
+            (F.col("term") == STATS_TERM) | (F.col("df") > int(salt_threshold))
         )
-        .collect()[0]
+        .collect()
     )
+    n_docs = 0
+    sum_dl = 0
+    head_rows: list[tuple[str, int]] = []
+    for r in agg_rows:
+        if r["term"] == STATS_TERM:
+            n_docs, sum_dl = int(r["df"]), int(r["sdl"] or 0)
+        else:
+            head_rows.append((r["term"], int(r["df"])))
+    # the identical double division the old stats aggregate performed
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else float("nan")
     index = merge_partials(
         spark, partials, path,
-        n_docs=float(g["n_docs"]), avgdl=float(g["avgdl"]),
-        sum_dl=int(g["sum_dl"]),
+        n_docs=float(n_docs), avgdl=avgdl, sum_dl=sum_dl,
         salt_threshold=salt_threshold, n_salt=n_salt, block_size=block_size,
         num_partitions=num_partitions, n_buckets=n_buckets, resume=resume,
-        target_shard_postings=target_shard_postings,
+        target_shard_postings=target_shard_postings, head_rows=head_rows,
     )
     raw_partials.unpersist()
     return index
@@ -1186,6 +1198,7 @@ def merge_partials(
     resume: bool = False,
     target_shard_postings: int = TARGET_SHARD_POSTINGS,
     sum_dl: int | None = None,
+    head_rows: list[tuple[str, int]] | None = None,
 ) -> PostingIndex:
     """Stage 2: salted shard merge + block-max metadata + resumable write.
 
@@ -1195,16 +1208,15 @@ def merge_partials(
     avgdl`` round-trips through float64 and can miss the true sum by an
     ulp, which would flip block ``max_z`` bits.
 
+    ``head_rows``: pre-collected (term, df) pairs above ``salt_threshold``
+    (the batch builder folds them into its corpus-stats job); ``None``
+    computes them here.
+
     Shared by the batch builder and the streaming compactor
     (streaming.compact_streamed_index) — streamed and batch-built indexes go
     through the identical merge, so they are identical for identical input.
     """
     from sparkforward.checkpoint import completed_partitions, manifest_writer
-
-    # persisted: the vocabulary-sized aggregate feeds BOTH the head-term
-    # collect and the terms-dictionary write — one pass over the partials
-    # instead of two (guide §2.4: share the exchange)
-    df_stats = partials.groupBy("term").agg(F.sum("n").alias("df")).persist()
 
     # Adaptive shard count per head term (tiny driver map, shipped in the
     # splitter closure). Shard = doc_id % n_shards with n_shards a POWER OF
@@ -1213,13 +1225,16 @@ def merge_partials(
     # (wand.wand_topk) — a doc lives in the same residue class for every
     # term. The per-shard size bound df/n_shards <= TARGET_SHARD_POSTINGS
     # protects the merge shuffle exactly like part_id salting did.
-    head = head_map(
-        [
+    df_stats: DataFrame | None = None
+    if head_rows is None:
+        # persisted: the vocabulary-sized aggregate feeds BOTH the head
+        # collect and the terms-dictionary write in this path
+        df_stats = partials.groupBy("term").agg(F.sum("n").alias("df")).persist()
+        head_rows = [
             (r["term"], int(r["df"]))
             for r in df_stats.filter(F.col("df") > int(salt_threshold)).collect()
-        ],
-        salt_threshold, n_salt, target_shard_postings,
-    )
+        ]
+    head = head_map(head_rows, salt_threshold, n_salt, target_shard_postings)
 
     salted = salt_partials(partials, head)
 
@@ -1288,23 +1303,50 @@ def merge_partials(
     if done:
         postings = postings.filter(~F.col("bucket").isin(list(done)))
     mode = "append" if resume else "overwrite"
-    (
-        postings.repartition(n_buckets, "bucket")
-        .sortWithinPartitions("term", "salt", "block_no")
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
+
+    # per-term shard count rides in the term dictionary: serving derives a
+    # query's parallelism as max(n_shards) over ITS terms (wand.wand_topk).
+    # The (small) dictionary job overlaps the postings write from a second
+    # driver thread — its tasks back-fill the write's straggler tail
+    # (guide §2.6); stats.json below stays the commit point, and a crashed
+    # half-written terms dir is re-overwritten on any retry.
+    import threading
+
+    terms_src = (
+        df_stats
+        if df_stats is not None
+        else partials.groupBy("term").agg(F.sum("n").alias("df"))
     )
+    terms_err: list[BaseException] = []
+
+    def _write_terms() -> None:
+        try:
+            attach_term_meta(terms_src, n_docs, head).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "terms"))
+        except BaseException as e:  # noqa: BLE001 — re-raised on join
+            terms_err.append(e)
+
+    terms_thread = threading.Thread(target=_write_terms, daemon=True)
+    terms_thread.start()
+    try:
+        (
+            postings.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term", "salt", "block_no")
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "postings"))
+        )
+    finally:
+        terms_thread.join()
+        if df_stats is not None:
+            df_stats.unpersist()
+    if terms_err:
+        raise terms_err[0]
     write_manifest(
         [b for b in range(n_buckets) if b not in done],
         extra={"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets},
     )
-
-    # per-term shard count rides in the term dictionary: serving derives a
-    # query's parallelism as max(n_shards) over ITS terms (wand.wand_topk)
-    terms = attach_term_meta(df_stats, n_docs, head)
-    terms.write.mode("overwrite").parquet(os.path.join(path, "terms"))
-    df_stats.unpersist()
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
