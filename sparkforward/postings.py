@@ -520,6 +520,10 @@ class PostingIndex:
             deletes if deletes is not None else np.empty(0, dtype=np.int64)
         )
         self._term_meta: dict[str, tuple[float, int]] = {}
+        #: lazy SparkContext.broadcast of the tombstone array — ONE ship per
+        #: index generation instead of a task-closure copy per serve (at
+        #: takedown-batch scale the closure re-ship is the cost)
+        self._deletes_bc = None
         #: per-term (term, salt) shard summaries: [(salt, blocks, shard_max_z,
         #: n_bytes, n_postings)] — memoized like _term_meta
         self._shard_meta: dict[str, list[tuple]] = {}
@@ -528,6 +532,17 @@ class PostingIndex:
         self._block_meta: dict[str, list] = {}
         #: term -> largest cap at which its block count overflowed
         self._block_overflow: dict[str, int] = {}
+
+    def deletes_broadcast(self, spark: SparkSession):
+        """The tombstone array as a broadcast variable, created once per
+        index object (= per loaded generation) and reused by every serve —
+        kernels read ``.value`` executor-side. ``None`` when the index has
+        no deletes."""
+        if not len(self.deletes):
+            return None
+        if self._deletes_bc is None:
+            self._deletes_bc = spark.sparkContext.broadcast(self.deletes)
+        return self._deletes_bc
 
     def term_meta(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term -> (idf, n_shards) for the given terms — the serving-side

@@ -716,7 +716,7 @@ _FINE_INTERVALS = 8
 def _serve_blocked(
     spark, index, postings, term_list, meta, q_terms, q_n_serve,
     kk, avgdl, block_size, taat_max, acc_decoded, acc_total, io_stats, emit,
-    max_meta_blocks, legacy, deletes=None,
+    max_meta_blocks, legacy, deletes=None, deletes_bc=None,
 ):
     """Block-granular serve: metadata plan -> block pre-filter -> gather.
 
@@ -1130,8 +1130,11 @@ def _serve_blocked(
         kw = {}
         if kernel is wand_query_vec and theta != neg_inf:
             kw["init_threshold"] = theta
-        if deletes is not None and len(deletes):
-            kw["deletes"] = deletes
+        # tombstones arrive via ONE per-generation broadcast (resolved
+        # executor-side), not a task-closure copy per serve
+        dels = deletes_bc.value if deletes_bc is not None else None
+        if dels is not None and len(dels):
+            kw["deletes"] = dels
         hits = kernel(
             tr, kk, avgdl, block_size, modulus, int(shard), stats_out=stats, **kw
         )
@@ -1284,6 +1287,13 @@ def wand_topk(
     deletes = getattr(index, "deletes", None)
     if deletes is not None and not len(deletes):
         deletes = None
+    # one broadcast per index generation; the driver-side planner keeps the
+    # local array (θ0 coverage adjustment), executors read the broadcast
+    deletes_bc = (
+        index.deletes_broadcast(spark)
+        if deletes is not None and hasattr(index, "deletes_broadcast")
+        else None
+    )
     if "block_no" in postings.columns:
         # plan only dictionary-live terms: a deleted index can hold posting
         # rows for a term whose df dropped to 0 (dictionary row removed,
@@ -1294,7 +1304,7 @@ def wand_topk(
             kk, avgdl, block_size, taat_max, acc_decoded, acc_total,
             io_stats, _emit,
             MAX_META_BLOCKS if max_meta_blocks is None else int(max_meta_blocks),
-            legacy, deletes=deletes,
+            legacy, deletes=deletes, deletes_bc=deletes_bc,
         )
         if per_shard is None:
             return spark.createDataFrame([], RESULT_SCHEMA)
@@ -1328,7 +1338,8 @@ def wand_topk(
             stats: list | None = [] if acc_decoded is not None else None
             hits = kernel(
                 pdf, kk, avgdl, block_size, modulus, int(shard),
-                stats_out=stats, deletes=deletes,
+                stats_out=stats,
+                deletes=deletes_bc.value if deletes_bc is not None else None,
             )
             if stats:
                 acc_decoded.add(stats[0][0])

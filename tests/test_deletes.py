@@ -211,3 +211,21 @@ def test_delete_empty_is_noop(spark, docs, tmp_path):
     before = index_signature(str(tmp_path / "a"))
     delete_docs(spark, str(tmp_path / "a"), [])
     assert index_signature(str(tmp_path / "a")) == before
+
+
+def test_delete_tombstones_ship_as_one_broadcast(spark, docs, tmp_path):
+    """Repeated serves of a deleted index reuse ONE broadcast of the
+    tombstone array (per loaded generation) instead of re-shipping it in
+    every serve's task closure — and results are unchanged."""
+    build_inverted_index(docs, str(tmp_path / "a"), **CFG)
+    idx = delete_docs(spark, str(tmp_path / "a"), _del_ids(docs))
+    first = _serve(spark, idx)
+    bc1 = idx.deletes_broadcast(spark)
+    assert bc1 is not None
+    second = _serve(spark, idx)
+    bc2 = idx.deletes_broadcast(spark)
+    assert bc2 is bc1  # same broadcast object across serves
+    assert bc1.value.tolist() == sorted(
+        r["doc_id"] for r in _del_ids(docs).collect()
+    )
+    assert first.equals(second)
