@@ -1230,6 +1230,26 @@ def wand_topk(
                 seen.add(t)
                 qt_rows.append({"q_id": r["q_id"], "term": t})
     term_list = sorted({r["term"] for r in qt_rows})
+    # Serve-PLAN memo: repeated serves of the same (query set, k, flags)
+    # over one index object skip the driver-side planning entirely and
+    # reuse the built DataFrame — the plan, not results: every action on
+    # it re-runs the gather and kernels from the parquet/cached postings.
+    # Only the pure form is memoized (accumulator/io probes identify a
+    # specific serve). Keyed on tokenized content, so it is insensitive to
+    # query-DataFrame identity; bounded FIFO.
+    memo_key = None
+    if block_stats is None and io_stats is None:
+        memo_key = (
+            tuple(sorted((r["q_id"], r["term"]) for r in qt_rows)),
+            kk, n_serve_shards, taat_max_postings, max_meta_blocks,
+            len(getattr(index, "deletes", ())),
+        )
+        plan_cache = getattr(index, "_serve_plan_cache", None)
+        if plan_cache is None:
+            plan_cache = index._serve_plan_cache = {}
+        hit = plan_cache.get(memo_key)
+        if hit is not None:
+            return hit
     postings = index.postings
     blocked = "block_no" in postings.columns
     legacy = "n_shards" not in postings.columns
@@ -1356,8 +1376,13 @@ def wand_topk(
     w = Window.partitionBy("q_id").orderBy(
         F.desc("score"), F.asc(F.col("id").cast("bigint")), F.asc("id")
     )
-    return (
+    result = (
         per_shard.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= kk)
         .select("q_id", "id", "rank", "score")
     )
+    if memo_key is not None:
+        if len(plan_cache) >= 64:  # bounded: long-lived bulk services
+            plan_cache.pop(next(iter(plan_cache)))
+        plan_cache[memo_key] = result
+    return result
