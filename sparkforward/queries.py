@@ -1703,7 +1703,11 @@ SELECT q_id, CAST(vec_id AS VARCHAR) AS id, rank, cosine FROM rr WHERE rank <= {
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkforward.dedup import exact_duplicates
 
-    return exact_duplicates(load_documents(spark, sf_dir))
+    # read unspread: a pure hash aggregation already reduces map-side and
+    # shuffles only distinct hashes — an input spread would add an
+    # exchange in front of the agg's own shuffle for no scale benefit
+    # (guide §2.4), measured +0.3 s at fixture scale
+    return exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def sql_dedup_exact() -> str:
