@@ -143,6 +143,18 @@ from sparkforward.postings import (
 
 _BLOCK_COLS = [f.name for f in BLOCK_POSTING_SCHEMA.fields]
 
+#: stats.json keys the engine owns — extra_stats may never clobber these
+#: (the committed index state at the flip); everything else is caller
+#: metadata and rides along freely
+_ENGINE_STATS_KEYS = frozenset(
+    {
+        "n_docs", "avgdl", "k1", "b", "layout", "block_size",
+        "salt_threshold", "n_salt", "n_buckets", "target_shard_postings",
+        "head", "sum_dl", "data_dir", "segments", "terms_layout",
+        "terms_dir", "deletes_dir", "data_avgdl",
+    }
+)
+
 
 def _refresh_block_meta(avgdl: float):
     """mapInPandas kernel: recompute ``max_z``/``min_z`` under a new avgdl.
@@ -316,6 +328,14 @@ def append_to_index(
     """
     if mode not in ("rewrite", "segment", "lsm"):
         raise ValueError(f"append_to_index: unknown mode {mode!r}")
+    if extra_stats:
+        clash = sorted(set(extra_stats) & _ENGINE_STATS_KEYS)
+        if clash:
+            raise ValueError(
+                "append_to_index: extra_stats keys collide with "
+                f"engine-owned stats: {clash} — rename them (e.g. under "
+                "an app prefix)"
+            )
     with open(os.path.join(path, "stats.json")) as fh:
         stats = json.load(fh)
     additive_base = stats.get("terms_layout") == "additive"
@@ -586,6 +606,8 @@ def append_to_index(
             new_stats.pop("segments", None)
             new_stats.pop("terms_layout", None)
         if extra_stats:
+            # engine-owned keys were rejected at entry; caller keys
+            # (stream_batch_id, app metadata) commit atomically here
             new_stats.update(extra_stats)
         _flip_stats(path, new_stats)
     finally:
