@@ -88,42 +88,35 @@ def score_terms(
     )
 
 
-def _stats_for_terms(
-    tf: DataFrame, term_list: list[str]
-) -> tuple[float, float, dict[str, int]]:
-    """(n_docs, avgdl, {term: df}) in ONE aggregation job.
+def _scores_for_pairs(
+    tf: DataFrame, pair_rows: list[tuple[str, str]], term_list: list[str]
+) -> DataFrame:
+    """(q_id, doc_id, score) for a (q_id, term) pair list — ONE action.
 
-    The per-query-term document frequencies and the corpus globals (from
-    the map-side stats pseudo-rows) come out of a single
-    ``groupBy(term)`` over the term-filtered tf cache — the old plan ran
-    each as its own broadcast-subtree aggregation (two exchanges, two
-    broadcast builds, ~6 AQE jobs per cold query). The collected values
-    feed the scorer as literals/local relations, which broadcast without
-    launching jobs. All arithmetic on the values stays in the JVM
-    expression unchanged, so scores are bit-identical.
+    Statistics ride the scoring plan as tiny broadcast subtrees instead of
+    a separate driver collect: df comes from a query-terms-sized aggregate
+    over the term-pruned tf cache, N/avgdl from the map-side STATS_TERM
+    pseudo-rows (``corpus_globals`` — still no corpus-wide shuffle,
+    guide §2.3). A drift-controlled in-process A/B (7 alternating cold
+    reps, sf0.1) had the mid-round separate-collect shape at median
+    2.36 s vs 2.04 s for this one-action shape — the extra broadcast
+    exchanges are cheaper than serializing a second action per cold
+    query, and at scale both subtrees stay kilobyte-sized. Scores are
+    bit-identical (same JVM expression; columns vs literals both float64).
     """
-    from sparkforward.tokenize import STATS_TERM
+    from sparkforward.tokenize import corpus_globals
 
-    rows = (
-        tf.filter(F.col("term").isin([*term_list, STATS_TERM]))
-        .groupBy("term")
-        .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("s_tf"),
-            F.sum(F.col("dl").cast("bigint")).alias("s_dl"),
-        )
-        .collect()
+    spark = tf.sparkSession
+    qt = spark.createDataFrame(pair_rows, "q_id string, term string")
+    tf_q = tf.filter(F.col("term").isin(term_list))
+    df_stats = tf_q.groupBy("term").agg(F.count("*").alias("df"))
+    contribs = (
+        tf_q.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_stats), "term")
+        .crossJoin(F.broadcast(corpus_globals(tf)))
+        .select("q_id", "doc_id", bm25_score_expr().alias("contrib"))
     )
-    n_docs, sum_dl = 0, 0
-    dfs: dict[str, int] = {}
-    for r in rows:
-        if r["term"] == STATS_TERM:
-            n_docs, sum_dl = int(r["s_tf"]), int(r["s_dl"])
-        else:
-            dfs[r["term"]] = int(r["df"])
-    # the identical double division corpus_globals performs
-    avgdl = float(sum_dl) / float(n_docs) if n_docs else 0.0
-    return float(n_docs), avgdl, dfs
+    return contribs.groupBy("q_id", "doc_id").agg(F.sum("contrib").alias("score"))
 
 
 #: session-scoped tokenize-pass cache: (session, corpus plan hash, cols)
@@ -190,28 +183,9 @@ def bm25_scores(
     # Prune tf to QUERY terms before any statistics work: df is only
     # needed for terms that can contribute — at web scale the difference
     # between aggregating kilobytes and gigabytes. (N and avgdl still
-    # come from the FULL corpus via the map-side stats rows.) One collect
-    # returns df-per-term + N + avgdl; the scorer then joins a LOCAL
-    # (q_id, term, df) relation (broadcast without a build job) and takes
-    # the globals as literals — same JVM expression, one aggregation job
-    # instead of two broadcast-subtree exchanges.
+    # come from the FULL corpus via the map-side stats rows.)
     term_list = sorted({t for _, t in pairs})
-    n_docs, avgdl, dfs = _stats_for_terms(tf, term_list)
-    qt_rows = [(q, t, dfs[t]) for q, t in pairs if t in dfs]
-    spark = queries.sparkSession
-    qt = spark.createDataFrame(qt_rows, "q_id string, term string, df long")
-    tf_q = tf.filter(F.col("term").isin(term_list))
-    contribs = (
-        tf_q.join(F.broadcast(qt), "term")
-        .select(
-            "q_id",
-            "doc_id",
-            bm25_score_expr(
-                n_docs=F.lit(float(n_docs)), avgdl=F.lit(float(avgdl))
-            ).alias("contrib"),
-        )
-    )
-    return contribs.groupBy("q_id", "doc_id").agg(F.sum("contrib").alias("score"))
+    return _scores_for_pairs(tf, pairs, term_list)
 
 
 def topk(scores: DataFrame, k: int, decimals: int = SCORE_DECIMALS) -> DataFrame:
@@ -298,26 +272,9 @@ def bm25_rm3_topk(
     qt = spark.createDataFrame(pairs, "q_id string, term string")
 
     def score_pairs(pair_rows: list[tuple[str, str]], term_list: list[str]) -> DataFrame:
-        # one stats collect, then literal globals + a local (q_id, term,
-        # df) relation — the same restructure as bm25_scores
-        n_docs, avgdl, dfs = _stats_for_terms(tf, term_list)
-        qt_df = spark.createDataFrame(
-            [(q, t, dfs[t]) for q, t in pair_rows if t in dfs],
-            "q_id string, term string, df long",
-        )
-        return (
-            tf.filter(F.col("term").isin(term_list))
-            .join(F.broadcast(qt_df), "term")
-            .select(
-                "q_id",
-                "doc_id",
-                bm25_score_expr(
-                    n_docs=F.lit(float(n_docs)), avgdl=F.lit(float(avgdl))
-                ).alias("contrib"),
-            )
-            .groupBy("q_id", "doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
+        # statistics as embedded broadcast subtrees — one action per
+        # scoring pass, same restructure as bm25_scores
+        return _scores_for_pairs(tf, pair_rows, term_list)
 
     base = score_pairs(pairs, sorted({t for _, t in pairs}))
     w_fb = Window.partitionBy("q_id").orderBy(
