@@ -144,7 +144,14 @@ def _tf_persisted(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         hit = _TF_CACHE.get(sess, key)
         if hit is not None:
             return hit
-    tf = term_frequencies(docs, id_col=id_col, text_col=text_col).persist()
+    # spread a too-few-splits corpus before the Python tokenize pass so the
+    # per-doc Counter kernel fans across cores (no-op for real multi-file
+    # corpora); keyed on the UNspread plan so cache hits are layout-free
+    from sparkforward.tokenize import spread_small_input
+
+    tf = term_frequencies(
+        spread_small_input(docs), id_col=id_col, text_col=text_col
+    ).persist()
     if key is not None:
         _TF_CACHE.put(sess, key, tf)
     return tf

@@ -503,7 +503,11 @@ def simhash(
             pdf[out_col] = pd.Series(out, index=pdf.index, dtype="int64")
             yield pdf
 
-    return docs.mapInPandas(hash_batches, schema=T.StructType(fields))
+    from sparkforward.tokenize import spread_small_input
+
+    return spread_small_input(docs).mapInPandas(
+        hash_batches, schema=T.StructType(fields)
+    )
 
 
 # --------------------------------------------------------- SimHash near-dup #

@@ -58,13 +58,13 @@ ES_DEPTHS = (25, K_CAND)  # early-stopping depth schedule (serving config)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus table, spread to core-count parallelism when the fixture is a
-    single small parquet file (one scan partition would otherwise serialize
-    every per-row text kernel on one task; a no-op for any real multi-file
-    corpus — tokenize.spread_small_input)."""
-    from sparkforward.tokenize import spread_small_input
-
-    return spread_small_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Corpus table, as scanned. The small-input spread lives inside the
+    Python-kernel producers that need it (term_frequencies, repetition,
+    simhash) — spreading here put a round-robin exchange in front of
+    JVM-only scans and join-bound consumers that immediately re-partition
+    (a stacked Exchange→Exchange in the dedup_clusters/corpus_filter
+    plans; guide §2.4 — an accidental repartition "for parallelism")."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +576,11 @@ def q_interpolate_from_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", F.col("id").cast("bigint").alias("doc_id"), "score"
     )
     dense = _dense_scores(spark, sf_dir, cand.select("q_id", "doc_id"))
-    final = cand.join(dense, ["q_id", "doc_id"]).withColumn(
+    # dense is bounded by construction (<= K_CAND rows/query) but derived,
+    # so the planner cannot estimate it: without the hint this join planned
+    # as the pipeline's only SortMergeJoin (2 exchanges + 2 sorts on the
+    # serve path; guide §3.1 — pick the strategy deliberately)
+    final = cand.join(F.broadcast(dense), ["q_id", "doc_id"]).withColumn(
         "score_int",
         F.round(
             F.lit(ALPHA) * F.col("score") + F.lit(1.0 - ALPHA) * F.col("dense"),

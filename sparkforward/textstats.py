@@ -239,8 +239,10 @@ def _repetition_stats_arrow(docs: DataFrame, text_col: str) -> DataFrame:
                     out["top_2gram_frac"][i] = r6(int(counts.max()) / ng)
             yield pd.DataFrame(out)
 
-    return docs.select(
-        "doc_id", F.col(text_col).alias("_sfwd_text")
+    from sparkforward.tokenize import spread_small_input
+
+    return spread_small_input(
+        docs.select("doc_id", F.col(text_col).alias("_sfwd_text"))
     ).mapInPandas(kernel, REPETITION_SCHEMA)
 
 
