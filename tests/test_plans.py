@@ -60,6 +60,30 @@ def test_no_cross_products_anywhere(spark, entries):
             assert "CartesianProduct" not in plan, name
 
 
+def test_spread_sits_at_python_boundaries_only(spark):
+    """The small-input spread must parallelize Python kernels WITHOUT
+    taxing JVM-only scans: token_counts over a single-file corpus plans
+    no Exchange at all, while the BM25 tokenize pass, the repetition
+    Arrow kernel and the SimHash kernel round-robin the scan before
+    their MapInPandas (round-8 relocation out of load_documents)."""
+    from sparkforward import bm25
+    from sparkforward.dedup import simhash
+    from sparkforward.textstats import repetition_stats, token_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert "Exchange" not in _plan(token_counts(docs))
+    for df in (
+        bm25._tf_persisted(docs, "doc_id", "text"),
+        repetition_stats(docs),
+        simhash(docs),
+    ):
+        plan = _plan(df)
+        i_ex = plan.find("RoundRobinPartitioning")
+        i_py = plan.find("MapInPandas")
+        assert 0 <= i_py < i_ex, plan[:400]  # exchange feeds the kernel
+    bm25._TF_CACHE.release()
+
+
 def test_bm25_scan_is_pruned(spark):
     """The corpus scan under BM25 must read only (doc_id, text) — a scan
     that drags lang/source/n_chars through tokenization is wrong."""
