@@ -2575,9 +2575,32 @@ def _collect_qvecs(spark, sf_dir, mapping) -> dict[str, list[float]]:
     hit = _QVEC_CACHE.get(spark, key)
     if hit is not None:
         return hit
-    emb = load_embeddings(spark, sf_dir)
     ids = list(mapping.values())
-    rows = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id").isin(ids)).collect()}
+    rows: dict[int, list[float]] | None = None
+    try:
+        # |queries| vectors from a LOCAL parquet fixture: read them on the
+        # driver (row-group-pruned pyarrow scan) instead of launching a
+        # Spark job — the same driver-side shortcut as query tokenization.
+        # float32 -> Python float upcasts identically to a Spark collect,
+        # so downstream dot products are bit-identical.
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/embeddings.parquet"
+        tbl = pq.read_table(
+            path, columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", ids)],
+        )
+        rows = dict(zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()))
+        if set(rows) < set(ids):  # unexpected layout: fall back below
+            rows = None
+    except Exception:  # noqa: BLE001 — remote/exotic storage: use Spark
+        rows = None
+    if rows is None:
+        emb = load_embeddings(spark, sf_dir)
+        rows = {
+            r["vec_id"]: r["embedding"]
+            for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+        }
     out = {q: rows[v] for q, v in mapping.items()}
     _QVEC_CACHE.put(spark, key, out)
     return out
