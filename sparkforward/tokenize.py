@@ -57,16 +57,25 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+#: below this many input bytes the spread is skipped: a single-task Python
+#: kernel over <4 MB of text finishes in well under a second, while the
+#: round-robin exchange + per-task scheduling it would buy cost more
+#: (drift-controlled A/B, round 8: the exchange made fixture-scale BM25
+#: ~10% slower; a data-size floor, not a core-count constant)
+SPREAD_MIN_BYTES = 4 << 20
+
+
 def spread_small_input(docs: DataFrame) -> DataFrame:
     """Round-robin-spread a corpus whose scan would yield far fewer tasks
-    than the cluster has cores (e.g. one small parquet file), so per-row
-    text kernels parallelize instead of running on one task.
+    than the cluster has cores (e.g. one LARGE single parquet file), so
+    per-row text kernels parallelize instead of running on one task.
 
     The decision reads ONLY the local file layout (``inputFiles`` + stat) —
     no ``.rdd`` conversion, no job. A no-op whenever the scan already
-    splits to at least half the core count, for non-file-backed plans, and
-    for remote storage — at real scale the input always splits enough, so
-    no shuffle is ever added there (guide §2.5, input-side parallelism)."""
+    splits to at least half the core count, for inputs under
+    :data:`SPREAD_MIN_BYTES`, for non-file-backed plans, and for remote
+    storage — at real scale the input always splits enough, so no shuffle
+    is ever added there (guide §2.5, input-side parallelism)."""
     try:
         from urllib.parse import unquote, urlparse
 
@@ -83,6 +92,8 @@ def spread_small_input(docs: DataFrame) -> DataFrame:
             if p.scheme not in ("", "file"):
                 return docs  # remote storage: let the scan split
             total += os.stat(unquote(p.path)).st_size
+        if total < SPREAD_MIN_BYTES:
+            return docs
         raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         s = raw.strip().lower().removesuffix("b")
         units = {"k": 10, "m": 20, "g": 30, "t": 40}

@@ -60,18 +60,27 @@ def test_no_cross_products_anywhere(spark, entries):
             assert "CartesianProduct" not in plan, name
 
 
-def test_spread_sits_at_python_boundaries_only(spark):
+def test_spread_sits_at_python_boundaries_only(spark, monkeypatch):
     """The small-input spread must parallelize Python kernels WITHOUT
     taxing JVM-only scans: token_counts over a single-file corpus plans
     no Exchange at all, while the BM25 tokenize pass, the repetition
     Arrow kernel and the SimHash kernel round-robin the scan before
-    their MapInPandas (round-8 relocation out of load_documents)."""
-    from sparkforward import bm25
+    their MapInPandas (round-8 relocation out of load_documents) — but
+    only once the input is big enough that one task would actually
+    serialize meaningful work (SPREAD_MIN_BYTES floor)."""
+    from sparkforward import bm25, tokenize
     from sparkforward.dedup import simhash
     from sparkforward.textstats import repetition_stats, token_counts
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert "Exchange" not in _plan(token_counts(docs))
+    # fixture is tiny: below the bytes floor NO path spreads
+    assert "RoundRobinPartitioning" not in _plan(
+        bm25._tf_persisted(docs, "doc_id", "text")
+    )
+    bm25._TF_CACHE.release()
+    # above the floor, the exchange feeds exactly the Python kernels
+    monkeypatch.setattr(tokenize, "SPREAD_MIN_BYTES", 0)
     for df in (
         bm25._tf_persisted(docs, "doc_id", "text"),
         repetition_stats(docs),
@@ -81,6 +90,7 @@ def test_spread_sits_at_python_boundaries_only(spark):
         i_ex = plan.find("RoundRobinPartitioning")
         i_py = plan.find("MapInPandas")
         assert 0 <= i_py < i_ex, plan[:400]  # exchange feeds the kernel
+    assert "Exchange" not in _plan(token_counts(docs))
     bm25._TF_CACHE.release()
 
 
